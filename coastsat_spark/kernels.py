@@ -1,0 +1,386 @@
+"""Pure-NumPy computational kernels (no skimage/scipy/shapely available).
+
+These are the engine's re-implementations of the reference's "physical
+operators" (SURVEY.md §2.9). Each is used both inside vectorized pandas
+UDFs (executor side) and directly by the pytest oracles, so executor and
+oracle share one deterministic spec.
+
+Parity citations are file:line into /root/reference (behavioral spec only;
+no code copied — the reference delegates these to skimage/scipy, which this
+engine re-derives from the published algorithms).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --------------------------------------------------------------- Otsu
+
+def otsu_threshold(values: np.ndarray, bins: int = 256) -> float:
+    """Exact 256-bin Otsu threshold (inter-class variance argmax).
+
+    Deterministic replacement for skimage.filters.threshold_otsu as used at
+    SDS_shoreline.py:419-440. NaNs are excluded. Returns the midpoint of
+    the argmax bin edge pair, matching the classic histogram formulation.
+    """
+    v = np.asarray(values, dtype=np.float64).ravel()
+    v = v[np.isfinite(v)]
+    if v.size == 0:
+        return float("nan")
+    lo, hi = float(v.min()), float(v.max())
+    if lo == hi:
+        return lo
+    hist, edges = np.histogram(v, bins=bins, range=(lo, hi))
+    hist = hist.astype(np.float64)
+    w0 = np.cumsum(hist)
+    w1 = w0[-1] - w0
+    centers = (edges[:-1] + edges[1:]) / 2.0
+    m = np.cumsum(hist * centers)
+    mu0 = np.where(w0 > 0, m / np.maximum(w0, 1), 0.0)
+    mu1 = np.where(w1 > 0, (m[-1] - m) / np.maximum(w1, 1), 0.0)
+    between = w0[:-1] * w1[:-1] * (mu0[:-1] - mu1[:-1]) ** 2
+    k = int(np.argmax(between))
+    return float((edges[k] + edges[k + 1]) / 2.0)
+
+
+def balanced_subsample_indices(n_a: int, n_b: int, key_a: np.ndarray, key_b: np.ndarray):
+    """Deterministic class-balanced downsample: keep the min(n_a, n_b)
+    items of each class with the smallest hash keys.
+
+    Replaces the reference's unseeded np.random.choice
+    (SDS_shoreline.py:496-500) with a reproducible rule (SURVEY.md §4.3).
+    Returns (idx_a, idx_b) index arrays into each class.
+    """
+    k = min(n_a, n_b)
+    ia = np.argsort(key_a, kind="stable")[:k]
+    ib = np.argsort(key_b, kind="stable")[:k]
+    return ia, ib
+
+
+# --------------------------------------------- connected components
+
+def label_components(mask: np.ndarray, connectivity: int = 2) -> np.ndarray:
+    """Two-pass union-find connected-component labeling of a bool image.
+
+    Own implementation (no scipy.ndimage). connectivity=1 → 4-neighb,
+    2 → 8-neighb (the reference uses connectivity 2 for min-beach-area
+    cleanup, SDS_shoreline.py:382-383). Returns int32 labels, 0=background.
+    """
+    mask = np.asarray(mask, dtype=bool)
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent = [0]  # parent[i] for union-find; 0 is background sentinel
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    nxt = 1
+    for i in range(h):
+        for j in range(w):
+            if not mask[i, j]:
+                continue
+            neigh = []
+            if i > 0 and mask[i - 1, j]:
+                neigh.append(labels[i - 1, j])
+            if j > 0 and mask[i, j - 1]:
+                neigh.append(labels[i, j - 1])
+            if connectivity == 2:
+                if i > 0 and j > 0 and mask[i - 1, j - 1]:
+                    neigh.append(labels[i - 1, j - 1])
+                if i > 0 and j < w - 1 and mask[i - 1, j + 1]:
+                    neigh.append(labels[i - 1, j + 1])
+            if not neigh:
+                parent.append(nxt)
+                labels[i, j] = nxt
+                nxt += 1
+            else:
+                m = min(neigh)
+                labels[i, j] = m
+                for n in neigh:
+                    ra, rb = find(m), find(n)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    # second pass: flatten + renumber densely
+    remap = {}
+    out = np.zeros_like(labels)
+    for i in range(h):
+        for j in range(w):
+            l = labels[i, j]
+            if l:
+                r = find(l)
+                if r not in remap:
+                    remap[r] = len(remap) + 1
+                out[i, j] = remap[r]
+    return out
+
+
+def remove_small_objects(mask: np.ndarray, min_size: int, connectivity: int = 2) -> np.ndarray:
+    """Drop connected components smaller than min_size px
+    (skimage.morphology.remove_small_objects analog,
+    SDS_preprocess.py:377-383 / SDS_shoreline.py:382-383)."""
+    labels = label_components(mask, connectivity)
+    if labels.max() == 0:
+        return mask.copy()
+    counts = np.bincount(labels.ravel())
+    keep = counts >= min_size
+    keep[0] = False
+    return keep[labels]
+
+
+# ------------------------------------------------------ windowed std
+
+def image_std(im: np.ndarray, radius: int = 1) -> np.ndarray:
+    """NaN-aware moving-window std with reflect padding
+    (SDS_tools.py:205-241 analog, astropy-free).
+
+    Uses the cumsum/integral-image trick: E[x^2]-E[x]^2 over the
+    (2r+1)^2 window, counting only finite pixels.
+    """
+    im = np.asarray(im, dtype=np.float64)
+    r = radius
+    pad = np.pad(im, r, mode="reflect")
+    finite = np.isfinite(pad)
+    x = np.where(finite, pad, 0.0)
+    x2 = x * x
+    cnt = finite.astype(np.float64)
+
+    def winsum(a: np.ndarray) -> np.ndarray:
+        c = np.cumsum(np.cumsum(a, axis=0), axis=1)
+        c = np.pad(c, ((1, 0), (1, 0)))
+        k = 2 * r + 1
+        return (
+            c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]
+        )
+
+    n = winsum(cnt)
+    s1 = winsum(x)
+    s2 = winsum(x2)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = s1 / n
+        var = s2 / n - mean * mean
+    var = np.maximum(var, 0.0)
+    out = np.sqrt(var)
+    out[n == 0] = np.nan
+    return out
+
+
+# ------------------------------------------------- marching squares
+
+_MS_EDGES = {
+    # case -> list of (edge_in, edge_out) segment crossings.
+    # edges: 0=top, 1=right, 2=bottom, 3=left. Cases from the published
+    # marching-squares lookup (ambiguous 5/10 resolved by mean rule).
+    1: [(3, 2)],
+    2: [(2, 1)],
+    3: [(3, 1)],
+    4: [(0, 1)],
+    6: [(0, 2)],
+    7: [(3, 0)],
+    8: [(0, 3)],
+    9: [(0, 2)],
+    11: [(0, 1)],
+    12: [(1, 3)],
+    13: [(1, 2)],
+    14: [(2, 3)],
+}
+
+
+def _interp(level, a, b):
+    # fraction along edge from corner value a to b
+    if b == a:
+        return 0.5
+    return (level - a) / (b - a)
+
+
+def marching_squares(grid: np.ndarray, level: float) -> list[np.ndarray]:
+    """Sub-pixel iso-contours of a 2-D field at `level`
+    (skimage.measure.find_contours analog, SDS_shoreline.py:433-436).
+
+    Returns a list of (n,2) float arrays of (row, col) coordinates, each a
+    connected polyline (closed ones repeat the first point). Cells touching
+    NaN corners produce no segments (the reference masks cloud/nodata to
+    NaN before contouring, SDS_shoreline.py:429-431).
+
+    Implementation: per-cell segment generation with linear interpolation,
+    then segment stitching via endpoint hashing — O(cells + segments).
+    """
+    g = np.asarray(grid, dtype=np.float64)
+    h, w = g.shape
+    segs = []
+    for i in range(h - 1):
+        for j in range(w - 1):
+            tl, tr = g[i, j], g[i, j + 1]
+            bl, br = g[i + 1, j], g[i + 1, j + 1]
+            corners = (tl, tr, br, bl)
+            if not all(np.isfinite(c) for c in corners):
+                continue
+            case = (
+                (1 if bl > level else 0)
+                | (2 if br > level else 0)
+                | (4 if tr > level else 0)
+                | (8 if tl > level else 0)
+            )
+            if case in (0, 15):
+                continue
+            if case in (5, 10):
+                # saddle: resolve by center mean (the standard rule)
+                center = (tl + tr + bl + br) / 4.0
+                if case == 5:
+                    pairs = [(3, 0), (1, 2)] if center > level else [(3, 2), (0, 1)]
+                else:
+                    pairs = [(0, 3), (2, 1)] if center > level else [(0, 1), (2, 3)]
+            else:
+                pairs = _MS_EDGES[case]
+
+            def edge_point(e):
+                if e == 0:  # top: between (i, j) and (i, j+1)
+                    return (i, j + _interp(level, tl, tr))
+                if e == 1:  # right: between (i, j+1) and (i+1, j+1)
+                    return (i + _interp(level, tr, br), j + 1)
+                if e == 2:  # bottom: between (i+1, j) and (i+1, j+1)
+                    return (i + 1, j + _interp(level, bl, br))
+                return (i + _interp(level, tl, bl), j)  # left
+
+            for e_a, e_b in pairs:
+                pa, pb = edge_point(e_a), edge_point(e_b)
+                # drop degenerate segments (corner exactly at level)
+                if abs(pa[0] - pb[0]) > 1e-12 or abs(pa[1] - pb[1]) > 1e-12:
+                    segs.append((pa, pb))
+
+    contours = _stitch(segs)
+    out = []
+    for c in contours:
+        # drop consecutive duplicates introduced by corner-touching cells
+        d = np.ones(len(c), dtype=bool)
+        d[1:] = (np.abs(np.diff(c, axis=0)) > 1e-12).any(axis=1)
+        c = c[d]
+        if len(c) >= 2:
+            out.append(c)
+    return out
+
+
+def _stitch(segs: list) -> list[np.ndarray]:
+    """Stitch undirected segments into maximal polylines."""
+    def key(p):
+        return (round(p[0] * 1e9), round(p[1] * 1e9))
+
+    adj: dict = {}
+    for idx, (a, b) in enumerate(segs):
+        adj.setdefault(key(a), []).append((idx, key(b), a, b))
+        adj.setdefault(key(b), []).append((idx, key(a), b, a))
+
+    used = [False] * len(segs)
+    out = []
+    # start from endpoints of degree 1 first (open contours), then cycles
+    keys_sorted = sorted(adj.keys())
+    starts = [k for k in keys_sorted if len(adj[k]) == 1] + keys_sorted
+    for sk in starts:
+        for idx, other_k, p_from, p_to in adj[sk]:
+            if used[idx]:
+                continue
+            path = [p_from, p_to]
+            used[idx] = True
+            cur_k = other_k
+            prev_k = sk
+            while True:
+                nxts = [e for e in adj.get(cur_k, []) if not used[e[0]]]
+                if not nxts:
+                    break
+                e = nxts[0]
+                used[e[0]] = True
+                path.append(e[3])
+                prev_k, cur_k = cur_k, e[1]
+            out.append(np.asarray(path, dtype=np.float64))
+    return out
+
+
+# ----------------------------------------------------- geometry bits
+
+def polyline_length(points: np.ndarray) -> float:
+    """Sum of segment lengths of an (n,2) polyline
+    (LineString.length analog, SDS_shoreline.py:661-668)."""
+    p = np.asarray(points, dtype=np.float64)
+    if len(p) < 2:
+        return 0.0
+    d = np.diff(p, axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def point_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Vectorized ray-casting PIP test for many points vs one polygon.
+
+    poly: (m,2) array of vertices (closed or open). Even-odd rule.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    poly = np.asarray(poly, dtype=np.float64)
+    x0, y0 = poly[:, 0], poly[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    inside = np.zeros(px.shape, dtype=bool)
+    for k in range(len(poly)):
+        cond = ((y0[k] > py) != (y1[k] > py)) & (
+            px < (x1[k] - x0[k]) * (py - y0[k]) / (y1[k] - y0[k] + 1e-300) + x0[k]
+        )
+        inside ^= cond
+    return inside
+
+
+# ------------------------------------------------------- despike (W3)
+
+def despike(chainage: np.ndarray, max_cross_change: float) -> np.ndarray:
+    """Iterative outlier removal, faithful port of the reference's
+    order-dependent fixpoint algorithm (SDS_transects.py:484-594):
+
+    - single point whose jump to BOTH neighbors exceeds max_cross_change
+      with the same sign → remove, restart scan from the front;
+    - 2-point and 3-point clusters jumping together → remove the cluster;
+    - loop until a full pass removes nothing.
+
+    Input: 1-D array ordered by time (NaNs must be pre-dropped by the
+    caller, matching SDS_transects.py:431-435). Returns a boolean keep-mask.
+    """
+    x = np.asarray(chainage, dtype=np.float64)
+    keep = np.ones(len(x), dtype=bool)
+    changed = True
+    while changed:
+        changed = False
+        idx = np.flatnonzero(keep)
+        if len(idx) < 3:
+            break
+        v = x[idx]
+        d = np.diff(v)
+        for k in range(1, len(v) - 1):
+            dl, dr = d[k - 1], d[k]
+            # spike up then down (or down then up), both exceeding threshold
+            if abs(dl) > max_cross_change and abs(dr) > max_cross_change and np.sign(dl) != np.sign(dr):
+                keep[idx[k]] = False
+                changed = True
+                break
+            # 2-point cluster
+            if k + 2 < len(v):
+                dl2, dr2 = d[k - 1], v[k + 2] - v[k + 1]
+                step_in = abs(dl2) > max_cross_change
+                step_out = abs(dr2) > max_cross_change
+                flat_mid = abs(v[k + 1] - v[k]) <= max_cross_change
+                if step_in and step_out and flat_mid and np.sign(dl2) != np.sign(dr2):
+                    keep[idx[k]] = False
+                    keep[idx[k + 1]] = False
+                    changed = True
+                    break
+            # 3-point cluster
+            if k + 3 < len(v):
+                dl3, dr3 = d[k - 1], v[k + 3] - v[k + 2]
+                flat = (
+                    abs(v[k + 1] - v[k]) <= max_cross_change
+                    and abs(v[k + 2] - v[k + 1]) <= max_cross_change
+                )
+                if abs(dl3) > max_cross_change and abs(dr3) > max_cross_change and flat and np.sign(dl3) != np.sign(dr3):
+                    keep[idx[k]] = False
+                    keep[idx[k + 1]] = False
+                    keep[idx[k + 2]] = False
+                    changed = True
+                    break
+    return keep
