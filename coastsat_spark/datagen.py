@@ -247,6 +247,39 @@ def webpages_df(spark, n_rows: int, with_truth: bool = False):
     return spark.range(0, n_rows, numPartitions=parts).mapInPandas(gen, schema=cols)
 
 
+TIDE_COMPONENTS = [  # (amplitude, period seconds) — M2/S2/O1-like
+    (0.50, 12.4206 * 3600.0),
+    (0.20, 12.0000 * 3600.0),
+    (0.10, 25.8193 * 3600.0),
+]
+
+
+def tide_value_sql(ts_expr: str) -> str:
+    """Tide level at a timestamp, as portable SQL (Spark + DuckDB).
+
+    Harmonic synthesis — the engine's stand-in for the reference's pyfes
+    evaluation (SDS_slope.py:33-53); deterministic and SQL-expressible so
+    the as-of tide join has a DuckDB oracle.
+    """
+    terms = [
+        f"{a} * sin(2 * pi() * (epoch({ts_expr}))::double / {p})" for a, p in TIDE_COMPONENTS
+    ]
+    return " + ".join(terms)
+
+
+def tides_df(spark, start_s: int = TS_START_S, span_s: int = TS_SPAN_S, step_s: int = 900):
+    """15-min tide series (NARRA_tides.csv analog, examples/NARRA_tides.csv:1-5)."""
+    from pyspark.sql import functions as F
+
+    n = span_s // step_s
+    t = F.timestamp_seconds(F.lit(start_s) + F.col("id") * F.lit(step_s))
+    tide = sum(
+        F.lit(a) * F.sin(F.lit(2.0 * np.pi) * (F.col("id") * F.lit(float(step_s)) + F.lit(float(start_s))) / F.lit(p))
+        for a, p in TIDE_COMPONENTS
+    )
+    return spark.range(0, n).select(t.alias("ts"), tide.alias("tide"))
+
+
 def webpages_path(sf: float, base_dir: str = "/root/repo/data") -> str:
     return os.path.join(base_dir, f"webpages_sf{sf}")
 

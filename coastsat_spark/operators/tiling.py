@@ -1,0 +1,160 @@
+"""Document -> tile/pixel assignment and the deterministic sensor model.
+
+This is the engine's ingestion surface (analog of the reference's
+EP1 download+warp chain, SDS_download.py:680-964): web pages carrying a
+geotag become "observations" on a world-fixed pixel grid.
+
+Scale design:
+- geotag parse is one Arrow-batched pandas UDF (the only Python hop);
+- cell/tile/pixel keys and all five band values are pure column
+  arithmetic — they stay inside whole-stage codegen and are available to
+  Catalyst for pruning (materialized-column decision, SURVEY.md §4.2);
+- the "scene" partition key is (tile, month(warc_ts)) — the analog of the
+  reference's (satname, timestamp) scene — so every downstream raster
+  kernel groups on a bounded, pre-aggregated key.
+
+Sensor model (deterministic spec, shared with the NumPy oracle): a doc's
+five band values derive from its position. Water side (lat below the
+synthetic coast curve) darkens SWIR/NIR exactly as water does in the
+reference's imagery (MNDWI separability, SDS_tools.py:167-203); noise
+comes from the micro-degree digits of the quantized geotag — integer
+arithmetic, bit-identical in Spark SQL, DuckDB and NumPy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..datagen import COAST_AMP, COAST_WAVELEN
+from ..functions import cells
+from ..functions.text import parse_geotag
+
+BANDS = ["blue", "green", "red", "nir", "swir"]
+
+# (P, Q, base, water_delta, noise_amp) per band; land value = base + noise,
+# water value = base + water_delta + noise. Chosen so
+# mndwi = (swir-green)/(swir+green) ≈ +0.29 land / -0.58 water.
+_BAND_MODEL = {
+    "blue": (7919, 104729, 90.0, 30.0, 8.0),
+    "green": (7927, 104723, 100.0, 50.0, 8.0),
+    "red": (7933, 104717, 110.0, 20.0, 8.0),
+    "nir": (7937, 104711, 140.0, -80.0, 8.0),
+    "swir": (7949, 104707, 180.0, -140.0, 8.0),
+}
+_CLOUD_P, _CLOUD_Q = 7951, 104701
+CLOUD_FRAC = 0.06
+_NOISE_MOD = 9973
+
+
+def coast_lat_col(lon):
+    return F.lit(COAST_AMP) * F.sin(lon * F.lit(2.0 * math.pi / COAST_WAVELEN))
+
+
+def _noise(lat_i, lon_i, p: int, q: int):
+    """Deterministic noise in [-0.5, 0.5) from quantized geotag digits."""
+    return F.pmod(lat_i * F.lit(p) + lon_i * F.lit(q), F.lit(_NOISE_MOD)) / F.lit(
+        float(_NOISE_MOD)
+    ) - F.lit(0.5)
+
+
+def with_geo(docs: DataFrame) -> DataFrame:
+    """Parse the html geotag into lat/lon columns (one pandas-UDF hop)."""
+    g = parse_geotag(F.col("html"))
+    return docs.withColumn("_g", g).select("*", "_g.lat", "_g.lon").drop("_g")
+
+
+def with_bands(docs: DataFrame) -> DataFrame:
+    """Materialize the five band values + cloud flag as column arithmetic."""
+    lat_i = F.round(F.col("lat") * 1e6).cast("long")
+    lon_i = F.round(F.col("lon") * 1e6).cast("long")
+    water = (F.col("lat") < coast_lat_col(F.col("lon"))).cast("double")
+    cloud = (
+        _noise(lat_i, lon_i, _CLOUD_P, _CLOUD_Q) + F.lit(0.5) < F.lit(CLOUD_FRAC)
+    ).alias("cloud")
+    out = docs.withColumn("cloud", cloud)
+    for b, (p, q, base, wd, amp) in _BAND_MODEL.items():
+        clear_val = F.lit(base) + water * F.lit(wd) + _noise(lat_i, lon_i, p, q) * F.lit(
+            2.0 * amp
+        )
+        out = out.withColumn(b, F.when(F.col("cloud"), F.lit(250.0)).otherwise(clear_val))
+    return out
+
+
+def with_tiles(
+    docs: DataFrame, tile_res: int = cells.TILE_RES, grid_log2: int = cells.GRID_LOG2
+) -> DataFrame:
+    """Tile + in-tile pixel assignment via one shared fine-resolution floor
+    (grid-aligned snap, analog of adjust_polygon SDS_download.py:770-809)."""
+    n_fine = 1 << (tile_res + grid_log2)
+    xf = F.least(
+        F.greatest(
+            F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(n_fine)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(n_fine - 1),
+    )
+    yf = F.least(
+        F.greatest(
+            F.floor((F.lit(90.0) - F.col("lat")) / F.lit(180.0) * F.lit(n_fine)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(n_fine - 1),
+    )
+    g = (1 << grid_log2) - 1
+    tx = F.shiftright(xf, grid_log2)
+    ty = F.shiftright(yf, grid_log2)
+    tile = (
+        F.lit(tile_res) * F.lit(1 << cells.R_BITS)
+        + tx * F.lit(1 << cells.X_BITS)
+        + ty
+    )
+    return (
+        docs.withColumn("tile", tile)
+        .withColumn("px_row", yf.bitwiseAND(F.lit(g)).cast("int"))
+        .withColumn("px_col", xf.bitwiseAND(F.lit(g)).cast("int"))
+    )
+
+
+def with_scene(docs: DataFrame, granularity: str = "quarter") -> DataFrame:
+    """Scene key = (tile, time bucket) — the engine's analog of one
+    satellite acquisition (SDS_download.py:512-513 catalog rows).
+
+    Quarterly buckets keep scene rasters dense at small SF; a real
+    deployment would use monthly/daily buckets as doc volume allows.
+    """
+    return docs.withColumn("scene_month", F.date_trunc(granularity, F.col("warc_ts")))
+
+
+def prepare_documents(
+    docs: DataFrame,
+    tile_res: int = cells.TILE_RES,
+    grid_log2: int = cells.GRID_LOG2,
+    granularity: str = "quarter",
+) -> DataFrame:
+    """Full ingestion transform: html -> geo -> bands -> tile/pixel -> scene."""
+    return with_scene(with_tiles(with_bands(with_geo(docs)), tile_res, grid_log2), granularity)
+
+
+# ------------------------------------------------------------ numpy oracle
+
+def np_bands(lat: np.ndarray, lon: np.ndarray) -> dict[str, np.ndarray]:
+    """NumPy mirror of with_bands for the pytest oracle."""
+    from ..datagen import coast_lat
+
+    lat_i = np.round(np.asarray(lat) * 1e6).astype(np.int64)
+    lon_i = np.round(np.asarray(lon) * 1e6).astype(np.int64)
+    water = (np.asarray(lat) < coast_lat(lon)).astype(np.float64)
+
+    def noise(p, q):
+        return np.mod(lat_i * p + lon_i * q, _NOISE_MOD) / float(_NOISE_MOD) - 0.5
+
+    cloud = noise(_CLOUD_P, _CLOUD_Q) + 0.5 < CLOUD_FRAC
+    out = {"cloud": cloud}
+    for b, (p, q, base, wd, amp) in _BAND_MODEL.items():
+        v = base + water * wd + noise(p, q) * (2.0 * amp)
+        out[b] = np.where(cloud, 250.0, v)
+    return out

@@ -1,0 +1,307 @@
+"""Time-series operators: despike, averages, trend, as-of joins, dedup.
+
+Reference parity targets (file:line into /root/reference):
+- W3 iterative despike           SDS_transects.py:484-594 (exact port via
+  groupBy(transect).applyInPandas — inherently order-dependent, SURVEY §7.3)
+- A6 seasonal_average            SDS_transects.py:600-638 (DJF year shift)
+- A7 monthly_average             SDS_transects.py:640-678 (trailing cutoff)
+- A8 linear trend                SDS_transects.py:680-685 (regr_* builtins)
+- J3 as-of tide join             SDS_tools.py:638-678 / SDS_slope.py:86-101
+- tidal correction               example.py:324-330
+- J4 interpolating validation    SDS_tools.py:919-943
+- A9 error statistics            SDS_tools.py:956-960
+- W1 close-timestamp dedup       SDS_tools.py:527-598
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .. import kernels
+
+
+# ----------------------------------------------------------- despike (W3)
+
+def despike_timeseries(ts: DataFrame, max_cross_change: float, time_col: str = "scene_month") -> DataFrame:
+    """Per-transect iterative outlier removal (exact sequential port).
+
+    NaN chainages are dropped first (SDS_transects.py:431-435), then the
+    fixpoint spike scan runs per transect inside applyInPandas.
+    """
+    schema = "transect string, %s timestamp, chainage double" % time_col
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=["chainage"]).sort_values(time_col)
+        keep = kernels.despike(pdf["chainage"].to_numpy(), max_cross_change)
+        return pdf.loc[keep, ["transect", time_col, "chainage"]]
+
+    return (
+        ts.select("transect", time_col, "chainage")
+        .groupBy("transect")
+        .applyInPandas(fn, schema=schema)
+    )
+
+
+# ------------------------------------------------------ seasonal / monthly
+
+def season_bucket(ts_col: Column) -> Column:
+    """Season anchor date: DJF->(y,1,1) with December rolling into the next
+    year's DJF, MAM->(y,4,1), JJA->(y,7,1), SON->(y,10,1)
+    (SDS_transects.py:617-625)."""
+    m = F.month(ts_col)
+    y = F.year(ts_col) + F.when(m == 12, F.lit(1)).otherwise(F.lit(0))
+    anchor = (
+        F.when(m.isin(12, 1, 2), F.lit(1))
+        .when(m.isin(3, 4, 5), F.lit(4))
+        .when(m.isin(6, 7, 8), F.lit(7))
+        .otherwise(F.lit(10))
+    )
+    return F.make_date(y, anchor, F.lit(1))
+
+
+def seasonal_average(ts: DataFrame, time_col: str = "scene_month") -> DataFrame:
+    """A6: mean chainage per (transect, season bucket)."""
+    return (
+        ts.filter(F.col("chainage").isNotNull())
+        .groupBy("transect", season_bucket(F.col(time_col)).alias("season"))
+        .agg(F.avg("chainage").alias("mean_chainage"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def monthly_average(ts: DataFrame, time_col: str = "scene_month") -> DataFrame:
+    """A7: mean per (transect, year-month), dropping buckets whose label
+    date (15th) lands within 30 days of the series end
+    (SDS_transects.py:660-661)."""
+    labeled = ts.filter(F.col("chainage").isNotNull()).withColumn(
+        "month_label", F.make_date(F.year(time_col), F.month(time_col), F.lit(15))
+    )
+    cutoff = labeled.agg(F.date_sub(F.max(F.col(time_col).cast("date")), 30)).collect()[0][0]
+    return (
+        labeled.filter(F.col("month_label") <= F.lit(cutoff))
+        .groupBy("transect", "month_label")
+        .agg(F.avg("chainage").alias("mean_chainage"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def trend(ts: DataFrame, time_col: str = "scene_month") -> DataFrame:
+    """A8: per-transect linear trend in units/year + correlation, via the
+    built-in SQL regression aggregates (scipy.linregress analog,
+    SDS_transects.py:680-685). x = years since the transect's first date."""
+    w = W.partitionBy("transect")
+    x = (
+        F.col(time_col).cast("double") - F.min(F.col(time_col).cast("double")).over(w)
+    ) / F.lit(365.25 * 86400.0)
+    d = ts.filter(F.col("chainage").isNotNull()).withColumn("x_years", x)
+    return d.groupBy("transect").agg(
+        F.regr_slope(F.col("chainage"), F.col("x_years")).alias("trend"),
+        F.regr_intercept(F.col("chainage"), F.col("x_years")).alias("intercept"),
+        F.corr(F.col("chainage"), F.col("x_years")).alias("rvalue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ------------------------------------------------------------- as-of (J3)
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "forward",
+    partition_cols: list[str] | None = None,
+    bucket_seconds: float | None = None,
+) -> DataFrame:
+    """Generic as-of join via tagged union + one window pass (no Python).
+
+    forward  -> first right row with right_ts >= left_ts
+    backward -> last  right row with right_ts <= left_ts
+    (J3 uses forward: first tide sample after the image date,
+    SDS_tools.py:669-676.)
+
+    Scale: with no `bucket_seconds` the window sorts within
+    `partition_cols` only — fine when each key's series fits a partition.
+    For one global dense series (the tide table) pass `bucket_seconds`
+    larger than the right series' max gap: both sides are hashed into
+    time buckets and each right row is replicated into the adjacent
+    bucket, so the running fill is exact across bucket boundaries while
+    the sort stays fully parallel.
+    """
+    pc = list(partition_cols or [])
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    rt = (
+        right.select(
+            *pc, F.col(right_ts).alias("_ts"), *[F.col(c) for c in value_cols]
+        ).withColumn("_side", F.lit(0))
+    )
+    if bucket_seconds is not None:
+        bkt = F.floor(F.col("_ts").cast("double") / F.lit(float(bucket_seconds)))
+        lt = lt.withColumn("_bkt", bkt)
+        shift = F.lit(-1) if direction == "forward" else F.lit(1)
+        rt = rt.withColumn("_bkt", F.explode(F.array(bkt, bkt + shift)))
+        pc = pc + ["_bkt"]
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in value_cols:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    u = lt.select(rt.columns).unionByName(rt.select(rt.columns))
+    if direction == "forward":
+        # right rows sort after left at equal ts so the forward frame
+        # (currentRow..following) includes them -> >= semantics
+        w = (
+            W.partitionBy(*pc)
+            .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        filled = [F.first(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w).alias(c) for c in value_cols]
+    else:
+        # right rows sort before left at equal ts -> <= semantics
+        w = (
+            W.partitionBy(*pc)
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        filled = [F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w).alias(c) for c in value_cols]
+    keep = [c for c in left.columns]
+    return (
+        u.select(*[F.col(c) for c in keep if c not in value_cols], "_side", *filled)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
+def tidal_correction(
+    ts_with_tide: DataFrame, beach_slope: float, reference_elevation: float = 0.0
+) -> DataFrame:
+    """Horizontal tide correction: chainage + (tide - ref_elev)/slope
+    (example.py:324-330)."""
+    corr = (F.col("tide") - F.lit(reference_elevation)) / F.lit(beach_slope)
+    return ts_with_tide.withColumn("chainage_corrected", F.col("chainage") + corr)
+
+
+# --------------------------------------------- validation join (J4) + A9
+
+def validation_join(
+    sat: DataFrame,
+    survey: DataFrame,
+    min_days: int = 3,
+    max_days: int = 10,
+    time_col: str = "scene_month",
+) -> DataFrame:
+    """Interpolating temporal join of satellite obs to in-situ surveys
+    (SDS_tools.py:919-943): nearest survey if < min_days away; linear
+    interpolation between bracketing surveys when min_days..max_days;
+    null beyond max_days or when no bracketing pair exists.
+
+    Implemented as two as-of passes (backward + forward) in one tagged
+    union + window plan, then a when() cascade — no Python.
+    """
+    su = survey.select(
+        "transect",
+        F.col("ts").alias("_sts"),
+        F.col("chainage").alias("_sval"),
+    )
+    lt = (
+        sat.select("transect", F.col(time_col).alias("_ts"), "chainage")
+        .withColumn("_side", F.lit(1))
+        .withColumn("_sts", F.lit(None).cast("timestamp"))
+        .withColumn("_sval", F.lit(None).cast("double"))
+    )
+    rt = (
+        su.select(
+            "transect",
+            F.col("_sts").alias("_ts"),
+            F.lit(None).cast("double").alias("chainage"),
+            F.lit(0).alias("_side"),
+            "_sts",
+            "_sval",
+        )
+    )
+    u = lt.select(rt.columns).unionByName(rt)
+    # inclusive both ways: equal-ts survey rows are visible to both fills
+    wb = (
+        W.partitionBy("transect")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("transect")
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    is_r = F.col("_side") == 0
+    d = (
+        u.withColumn("_b_ts", F.last(F.when(is_r, F.col("_sts")), ignorenulls=True).over(wb))
+        .withColumn("_b_val", F.last(F.when(is_r, F.col("_sval")), ignorenulls=True).over(wb))
+        .withColumn("_a_ts", F.first(F.when(is_r, F.col("_sts")), ignorenulls=True).over(wf))
+        .withColumn("_a_val", F.first(F.when(is_r, F.col("_sval")), ignorenulls=True).over(wf))
+        .filter(F.col("_side") == 1)
+    )
+    db = F.datediff(F.col("_ts").cast("date"), F.col("_b_ts").cast("date"))
+    da = F.datediff(F.col("_a_ts").cast("date"), F.col("_ts").cast("date"))
+    closest = F.when(db <= F.coalesce(da, F.lit(10**9)), F.col("_b_val")).otherwise(
+        F.col("_a_val")
+    )
+    x = F.col("_ts").cast("date").cast("timestamp").cast("double")
+    xb = F.col("_b_ts").cast("date").cast("timestamp").cast("double")
+    xa = F.col("_a_ts").cast("date").cast("timestamp").cast("double")
+    interp = F.col("_b_val") + (F.col("_a_val") - F.col("_b_val")) * (x - xb) / (xa - xb)
+    dmin2 = F.least(F.coalesce(db, F.lit(10**9)), F.coalesce(da, F.lit(10**9)))
+    survey_chainage = (
+        F.when(dmin2 > max_days, F.lit(None))
+        .when(dmin2 < min_days, closest)
+        .when(F.col("_b_ts").isNotNull() & F.col("_a_ts").isNotNull(), interp)
+        .otherwise(F.lit(None))
+    )
+    return d.select(
+        "transect",
+        F.col("_ts").alias(time_col),
+        "chainage",
+        survey_chainage.alias("survey_chainage"),
+    )
+
+
+def error_stats(joined: DataFrame) -> DataFrame:
+    """A9: RMSE / mean / std / q90 of (satellite - survey)
+    (SDS_tools.py:956-960; exact q90 via percentile for oracle parity)."""
+    e = F.col("chainage") - F.col("survey_chainage")
+    d = joined.filter(F.col("survey_chainage").isNotNull()).withColumn("err", e)
+    return d.agg(
+        F.sqrt(F.avg(F.col("err") * F.col("err"))).alias("rmse"),
+        F.avg("err").alias("mean_err"),
+        F.stddev_pop("err").alias("std_err"),
+        F.expr("percentile(abs(err), 0.9)").alias("q90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------- W1 dedup
+
+def dedup_close_timestamps(
+    df: DataFrame,
+    ts_col: str,
+    gap_seconds: float,
+    priority: list[Column],
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """W1: group rows whose timestamps chain within gap_seconds (session
+    window via lag+cumsum) and keep the best row per session ordered by
+    `priority` (SDS_tools.py:527-598: drop empties, prefer L9 over L7,
+    else keep the longest shoreline)."""
+    pc = partition_cols or []
+    w = W.partitionBy(*pc).orderBy(F.col(ts_col).asc())
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    d = df.withColumn(
+        "_new_session", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    ).withColumn("_session", F.sum("_new_session").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    w2 = W.partitionBy(*pc, "_session").orderBy(*priority)
+    return (
+        d.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .drop("_new_session", "_session", "_rn")
+    )
