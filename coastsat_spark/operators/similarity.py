@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (training-data pipeline).
+
+Brute-force cosine top-k is the exact baseline (pure column math via
+`aggregate`/`zip_with` — JVM-side, no Python); the scale paths are
+sign-LSH bucketing (random-hyperplane) and a centroid-probe (IVF-style)
+variant, both of which cut the candidate set before the exact rerank.
+
+Embeddings table shape: (vec_id long, embedding array<float>, label int)
+— the driver testdata schema.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from ..hashing import splitmix64
+
+
+def _dot(a: str, b: str):
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (s, v) -> s + v)")
+
+
+def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    return emb.withColumn(
+        "norm", F.sqrt(F.expr(f"aggregate({col}, 0.0D, (s, v) -> s + v * v)"))
+    )
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x corpus, JVM-side dot
+    products, per-query window rank. Self-matches excluded.
+
+    Scale shape: queries are the small side (broadcast); the corpus scan
+    is embarrassingly parallel with no shuffle until the final top-k
+    (partial top-k via AQE-combined window would be the next step at
+    extreme k x |queries|).
+    """
+    q = with_norm(queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")), "q_emb").withColumnRenamed("norm", "q_norm")
+    c = with_norm(corpus.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb")), "c_emb").withColumnRenamed("norm", "c_norm")
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    sim = (_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine")
+    scored = j.select("q_id", "c_id", sim)
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+# ------------------------------------------------------------- sign-LSH
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-gaussian hyperplanes from splitmix64 bits."""
+    idx = np.arange(dim * n_bits, dtype=np.uint64) + np.uint64(seed * 7919)
+    u = (splitmix64(idx) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    # inverse-ish transform: map uniform to symmetric [-1, 1) (sign-LSH only
+    # needs symmetric directions, not true gaussians)
+    return (u * 2.0 - 1.0).reshape(n_bits, dim)
+
+
+def lsh_bucket_ids(
+    emb: DataFrame,
+    n_bits: int = 16,
+    n_tables: int = 1,
+    emb_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Sign-LSH buckets per vector: for each of `n_tables` independent
+    hyperplane sets, bucket = bits of sign(H_t @ v). Output explodes to
+    one row per (vector, table) with a (table, bucket) key.
+
+    One vectorized pandas UDF (one matrix multiply per Arrow batch).
+    """
+    if dim is None:
+        dim = len(emb.select(emb_col).first()[0])
+    H = np.vstack([_hyperplanes(dim, n_bits, seed=42 + t) for t in range(n_tables)])
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        M = np.vstack(vecs.to_numpy())
+        signs = (M @ H.T) > 0  # (n, n_tables*n_bits)
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        per_table = signs.reshape(len(M), n_tables, n_bits) @ weights
+        return pd.Series(list(per_table))
+
+    out = emb.withColumn("_bks", buckets(F.col(emb_col)))
+    return (
+        out.select("*", F.posexplode("_bks").alias("table", "bucket"))
+        .drop("_bks")
+    )
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = union over `n_tables` LSH
+    tables of same-bucket pairs, exact rerank on the candidate set.
+    Recall tunes with (n_bits down, n_tables up); cost with bucket sizes.
+    """
+    dim = len(corpus.select(emb_col).first()[0])
+    qb = lsh_bucket_ids(
+        queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")),
+        n_bits, n_tables, "q_emb", dim,
+    )
+    cb = lsh_bucket_ids(
+        corpus.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb")),
+        n_bits, n_tables, "c_emb", dim,
+    )
+    cand = (
+        cb.join(F.broadcast(qb.select("q_id", "table", "bucket")), ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "c_emb")
+        .distinct()
+    )
+    q = with_norm(
+        queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")), "q_emb"
+    ).withColumnRenamed("norm", "q_norm")
+    j = cand.join(F.broadcast(q), "q_id")
+    cn = F.sqrt(F.expr("aggregate(c_emb, 0.0D, (s, v) -> s + v * v)"))
+    sim = (_dot("q_emb", "c_emb") / (F.col("q_norm") * cn)).alias("cosine")
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        j.select("q_id", "c_id", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# -------------------------------------------------------- IVF-style probe
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: centroids = deterministic sample of corpus vectors
+    (lowest ids — a real deployment would k-means; the partition/probe
+    plumbing is identical), corpus assigned to nearest centroid, queries
+    probe the n_probe nearest centroid lists, exact rerank within.
+    """
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(emb_col).alias("cent_emb"))
+    )
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))
+
+    # assign corpus to nearest centroid (broadcast nested loop + rank 1)
+    ca = c.crossJoin(F.broadcast(cent)).withColumn("d", _dot("c_emb", "cent_emb"))
+    wc = W.partitionBy("c_id").orderBy(F.desc("d"), F.asc("cent_id"))
+    assigned = ca.withColumn("r", F.row_number().over(wc)).filter(F.col("r") == 1).select(
+        "c_id", "c_emb", "cent_id"
+    )
+    # queries probe n_probe centroids
+    qa = q.crossJoin(F.broadcast(cent)).withColumn("d", _dot("q_emb", "cent_emb"))
+    wq = W.partitionBy("q_id").orderBy(F.desc("d"), F.asc("cent_id"))
+    probes = qa.withColumn("r", F.row_number().over(wq)).filter(F.col("r") <= n_probe).select(
+        "q_id", "q_emb", "cent_id"
+    )
+    j = assigned.join(F.broadcast(probes), "cent_id").filter(F.col("q_id") != F.col("c_id"))
+    qn = F.sqrt(F.expr("aggregate(q_emb, 0.0D, (s, v) -> s + v * v)"))
+    cn = F.sqrt(F.expr("aggregate(c_emb, 0.0D, (s, v) -> s + v * v)"))
+    sim = (_dot("q_emb", "c_emb") / (qn * cn)).alias("cosine")
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        j.select("q_id", "c_id", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
