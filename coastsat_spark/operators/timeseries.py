@@ -288,14 +288,17 @@ def dedup_close_timestamps(
     gap_seconds: float,
     priority: list[Column],
     partition_cols: list[str] | None = None,
+    tiebreakers: list[Column] | None = None,
 ) -> DataFrame:
     """W1: group rows whose timestamps chain within gap_seconds (session
     window via lag+cumsum) and keep the best row per session ordered by
     `priority` (SDS_tools.py:527-598: drop empties, prefer L9 over L7,
-    else keep the longest shoreline)."""
+    else keep the longest shoreline). `tiebreakers` make the scan order
+    deterministic when timestamps collide."""
     pc = partition_cols or []
-    w = W.partitionBy(*pc).orderBy(F.col(ts_col).asc())
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    w = W.partitionBy(*pc).orderBy(F.col(ts_col).asc(), *(tiebreakers or []))
+    ep = F.col(ts_col).cast("timestamp").cast("double")  # NTZ-safe epoch
+    gap = ep - F.lag(ep).over(w)
     d = df.withColumn(
         "_new_session", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     ).withColumn("_session", F.sum("_new_session").over(w.rowsBetween(W.unboundedPreceding, 0)))
