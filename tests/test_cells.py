@@ -1,0 +1,102 @@
+"""Quad-cell index: numpy/Spark/SQL parity + structural properties."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from coastsat_spark.functions import cells
+
+
+def _rand_latlon(n=2000, seed=1):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-84, 84, n), rng.uniform(-179, 179, n)
+
+
+def test_decode_roundtrip():
+    lat, lon = _rand_latlon()
+    for res in (2, 6, 12):
+        c = cells.np_encode(lat, lon, res)
+        r, x, y = cells.np_decode(c)
+        assert (r == res).all()
+        n = 1 << res
+        assert (x >= 0).all() and (x < n).all() and (y >= 0).all() and (y < n).all()
+
+
+def test_bounds_contain_point():
+    lat, lon = _rand_latlon()
+    c = cells.np_encode(lat, lon, 8)
+    lon0, lat0, dlon, dlat = cells.np_cell_bounds(c)
+    assert ((lon >= lon0) & (lon < lon0 + dlon)).all()
+    assert ((lat <= lat0) & (lat > lat0 - dlat)).all()
+
+
+def test_parent_contains_children():
+    lat, lon = _rand_latlon()
+    c = cells.np_encode(lat, lon, 10)
+    p = cells.np_parent(c, 2)
+    expected = cells.np_encode(lat, lon, 8)
+    assert (p == expected).all()
+
+
+def test_children_cover_parent():
+    c = int(cells.np_encode(np.array([10.0]), np.array([20.0]), 5)[0])
+    ch = cells.np_children(c)
+    assert len(set(ch.tolist())) == 4
+    assert (cells.np_parent(ch) == c).all()
+
+
+def test_neighbors_shape_and_wrap():
+    c = cells.np_encode(np.array([0.0, 89.0]), np.array([179.9, 0.0]), 4)
+    nb = cells.np_neighbors(c)
+    assert nb.shape == (2, 9)
+    # equator cell: all 9 valid; near-pole cell: top row clamped away
+    assert (nb[0] >= 0).all()
+    assert (nb[1] == -1).sum() == 3
+
+
+def test_fine_pixel_consistent_with_tile():
+    lat, lon = _rand_latlon()
+    tile, pr, pc = cells.np_fine_to_tile_pixel(lat, lon, 6, 3)
+    t2 = cells.np_encode(lat, lon, 6)
+    assert (tile == t2).all()
+    assert (pr >= 0).all() and (pr < 8).all() and (pc >= 0).all() and (pc < 8).all()
+
+
+def test_spark_column_encode_matches_numpy(spark):
+    lat, lon = _rand_latlon(500)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    got = (
+        df.select(cells.encode_cell(F.col("lat"), F.col("lon"), 6).alias("cell"))
+        .toPandas()["cell"]
+        .to_numpy()
+    )
+    exp = cells.np_encode(lat, lon, 6)
+    assert (got == exp).all()
+
+
+def test_sql_encode_matches_numpy():
+    import duckdb
+
+    lat, lon = _rand_latlon(500)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(lat, lon)))
+    sql = cells.encode_cell_sql("lat", "lon", 6)
+    got = np.array(con.execute(f"SELECT {sql} FROM pts").fetchall()).ravel()
+    assert (got == cells.np_encode(lat, lon, 6)).all()
+
+
+def test_spark_parent_matches_numpy(spark):
+    lat, lon = _rand_latlon(300)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    got = (
+        df.select(
+            cells.cell_parent(cells.encode_cell(F.col("lat"), F.col("lon"), 10), 2).alias("p")
+        )
+        .toPandas()["p"]
+        .to_numpy()
+    )
+    assert (got == cells.np_encode(lat, lon, 8)).all()

@@ -1,0 +1,101 @@
+"""Dedup operators on planted duplicates: exact, Jaccard, MinHash, SimHash."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from coastsat_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = []
+    for i in range(60):
+        texts.append(" ".join(rng.choice(vocab, size=40)))
+    # planted near-dups: 60..69 are copies of 0..9 with 1 word changed
+    for i in range(10):
+        toks = texts[i].split()
+        toks[5] = "CHANGED"
+        texts.append(" ".join(toks))
+    # planted exact dups: 70..72 are copies of 10..12
+    for i in range(10, 13):
+        texts.append(texts[i])
+    pdf = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_exact_dedup_finds_planted(spark, planted):
+    pdf, sdf = planted
+    out = dedup.exact_dedup(sdf).toPandas()
+    groups = out[out["group_size"] > 1]
+    assert set(groups["canonical_id"]) == {10, 11, 12}
+    assert len(groups) == 6  # three pairs
+
+
+def test_jaccard_pairs_find_near_dups(spark, planted):
+    pdf, sdf = planted
+    out = dedup.jaccard_pairs(sdf, n=5, threshold=0.6, max_doc_freq=None).toPandas()
+    found = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    for i in range(10):
+        assert (i, 60 + i) in found, i
+    for i in range(10, 13):
+        assert (i, 60 + i) in found
+
+
+def test_jaccard_exact_value(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["abcdefgh", "abcdefgh"]})
+    out = dedup.jaccard_pairs(
+        spark.createDataFrame(pdf), n=5, threshold=0.5, max_doc_freq=None
+    ).toPandas()
+    assert len(out) == 1 and out["jaccard"].iloc[0] == 1.0
+
+
+def test_minhash_estimates_true_jaccard(spark, planted):
+    pdf, sdf = planted
+    out = dedup.minhash_dedup_pairs(sdf, k=128, bands=32, threshold=0.5).toPandas()
+    found = {tuple(r): j for *r, j in out[["id_a", "id_b", "est_jaccard"]].to_numpy()}
+    hits = sum((float(i), float(60 + i)) in found for i in range(10))
+    assert hits >= 9  # LSH at 128/32 catches ~all 1-word-changed dups
+    # exact dups estimate 1.0
+    for i in range(10, 13):
+        assert found.get((float(i), float(60 + i)), 0) == 1.0
+
+
+def test_minhash_signatures_deterministic(spark, planted):
+    _, sdf = planted
+    s1 = dedup.minhash_signatures(sdf.repartition(8), k=32).toPandas()
+    s2 = dedup.minhash_signatures(sdf.repartition(3), k=32).toPandas()
+    m1 = dict(zip(s1["doc_id"], s1["sig"].map(tuple)))
+    m2 = dict(zip(s2["doc_id"], s2["sig"].map(tuple)))
+    assert m1 == m2
+
+
+def test_simhash_near_dups(spark, planted):
+    pdf, sdf = planted
+    out = dedup.simhash_dup_pairs(sdf, max_hamming=8, n_bands=16).toPandas()
+    found = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    hits = sum((i, 60 + i) in found for i in range(10))
+    assert hits >= 8
+    # exact dups at hamming 0
+    zero = out[out["hamming"] == 0]
+    for i in range(10, 13):
+        assert (i, 60 + i) in set(map(tuple, zero[["id_a", "id_b"]].to_numpy()))
+
+
+def test_pigeonhole_banding_complete(spark, planted):
+    """Any pair with hamming <= n_bands-1 must be found (pigeonhole)."""
+    pdf, sdf = planted
+    fp = dedup.simhash_fingerprints(sdf).toPandas()
+    sig = dict(zip(fp["doc_id"], fp["simhash"]))
+    out = dedup.simhash_dup_pairs(sdf, max_hamming=3, n_bands=4).toPandas()
+    found = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    ids = sorted(sig)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin((sig[i] ^ sig[j]) & ((1 << 64) - 1)).count("1")
+                if h <= 3:
+                    assert (i, j) in found, (i, j, h)

@@ -1,0 +1,30 @@
+"""Driver-contract smoke: entry() produces rows with a stable schema;
+queries()/oracle_sql() registries are consistent."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E
+
+
+def test_registry_consistency():
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 40
+    assert len(oracles) >= 25
+
+
+def test_entry_runs(spark):
+    df = E.entry(spark)
+    rows = df.limit(5000).collect()
+    assert len(rows) > 0
+    assert {"transect", "scene_month", "chainage"} <= set(df.columns)
+
+
+def test_sampled_queries_run_at_smoke_sf(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    for name in ("pricing_summary", "cell_assign", "asof_join", "exact_dedup"):
+        df = E.queries()[name](spark, sf_dir)
+        assert df.count() >= 0

@@ -1,0 +1,142 @@
+"""NumPy kernel unit tests + properties (SURVEY.md §5.2)."""
+
+import numpy as np
+import pytest
+
+from coastsat_spark import kernels as K
+
+
+class TestOtsu:
+    def test_bimodal_separation(self):
+        v = np.concatenate([np.full(200, -0.5), np.full(150, 0.3)])
+        t = K.otsu_threshold(v + np.linspace(0, 0.02, 350))
+        assert -0.5 < t < 0.3
+
+    def test_nan_excluded(self):
+        v = np.array([0.0, 1.0, np.nan, 0.1, 0.9])
+        assert np.isfinite(K.otsu_threshold(v))
+
+    def test_constant_input(self):
+        assert K.otsu_threshold(np.full(10, 3.3)) == 3.3
+
+    def test_empty(self):
+        assert np.isnan(K.otsu_threshold(np.array([])))
+
+    def test_permutation_invariance(self):
+        rng = np.random.default_rng(42)
+        v = rng.normal(size=500)
+        t1 = K.otsu_threshold(v)
+        t2 = K.otsu_threshold(v[::-1])
+        assert t1 == t2
+
+
+class TestComponents:
+    def test_labels_and_connectivity(self):
+        m = np.zeros((6, 6), bool)
+        m[0:2, 0:2] = True
+        m[3, 3] = True
+        m[4, 4] = True
+        lab8 = K.label_components(m, connectivity=2)
+        lab4 = K.label_components(m, connectivity=1)
+        assert lab8[3, 3] == lab8[4, 4]
+        assert lab4[3, 3] != lab4[4, 4]
+
+    def test_remove_small_objects(self):
+        m = np.zeros((8, 8), bool)
+        m[0:3, 0:3] = True  # 9 px
+        m[6, 6] = True  # 1 px
+        out = K.remove_small_objects(m, min_size=4)
+        assert out.sum() == 9 and not out[6, 6]
+
+
+class TestMarchingSquares:
+    def test_vertical_line_on_ramp(self):
+        g = np.tile(np.arange(6, dtype=float), (5, 1))
+        cs = K.marching_squares(g, 2.5)
+        assert len(cs) == 1
+        assert np.allclose(cs[0][:, 1], 2.5)
+
+    def test_circle_closed_contour(self):
+        yy, xx = np.mgrid[0:20, 0:20]
+        f = np.hypot(yy - 10.0, xx - 10.0)
+        cs = K.marching_squares(f, 5.3)
+        assert len(cs) == 1
+        c = cs[0]
+        assert np.allclose(c[0], c[-1])  # closed
+        r = np.hypot(c[:, 0] - 10, c[:, 1] - 10)
+        assert r.min() > 4.5 and r.max() < 5.5
+
+    def test_nan_cells_skipped(self):
+        g = np.tile(np.arange(6, dtype=float), (5, 1))
+        g[:, 2] = np.nan  # kill the contour column
+        cs = K.marching_squares(g, 2.5)
+        assert sum(len(c) for c in cs) == 0
+
+    def test_subpixel_interpolation(self):
+        g = np.tile(np.arange(4, dtype=float), (3, 1))
+        cs = K.marching_squares(g, 1.25)
+        assert np.allclose(cs[0][:, 1], 1.25)
+
+
+class TestDespike:
+    def test_single_spike_removed(self):
+        x = np.array([0, 1, 2, 50, 3, 4, 5, 6.0])
+        keep = K.despike(x, 20)
+        assert not keep[3] and keep.sum() == 7
+
+    def test_monotonic_kept(self):
+        x = np.linspace(0, 10, 20)
+        assert K.despike(x, 2).all()
+
+    def test_two_point_cluster(self):
+        x = np.array([0, 1, 2, 50, 51, 3, 4, 5.0])
+        keep = K.despike(x, 20)
+        assert not keep[3] and not keep[4]
+
+    def test_three_point_cluster(self):
+        x = np.array([0, 1, 2, 50, 51, 50, 3, 4, 5.0])
+        keep = K.despike(x, 20)
+        assert not keep[3:6].any()
+
+    def test_terminates(self):
+        rng = np.random.default_rng(7)
+        x = rng.normal(scale=30, size=200)
+        K.despike(x, 10)  # no hang
+
+
+class TestImageStd:
+    def test_constant_zero(self):
+        assert np.allclose(K.image_std(np.full((7, 7), 2.0)), 0.0)
+
+    def test_matches_direct_window(self):
+        rng = np.random.default_rng(3)
+        im = rng.normal(size=(6, 6))
+        out = K.image_std(im, 1)
+        pad = np.pad(im, 1, mode="reflect")
+        direct = np.empty_like(im)
+        for i in range(6):
+            for j in range(6):
+                direct[i, j] = pad[i : i + 3, j : j + 3].std()
+        assert np.allclose(out, direct, atol=1e-10)
+
+
+class TestGeometry:
+    def test_polyline_length(self):
+        p = np.array([[0, 0], [3, 4], [3, 4]])
+        assert K.polyline_length(p) == 5.0
+
+    def test_point_in_polygon(self):
+        poly = np.array([[0, 0], [10, 0], [10, 10], [0, 10.0]])
+        inside = K.point_in_polygon(
+            np.array([5.0, 15.0, -0.1]), np.array([5.0, 5.0, 5.0]), poly
+        )
+        assert inside.tolist() == [True, False, False]
+
+
+class TestBalancedSample:
+    def test_deterministic_and_balanced(self):
+        ka = np.array([5, 3, 1, 4], dtype=np.uint64)
+        kb = np.array([9, 2], dtype=np.uint64)
+        ia, ib = K.balanced_subsample_indices(4, 2, ka, kb)
+        assert len(ia) == len(ib) == 2
+        assert ia.tolist() == [2, 1]  # smallest keys first, stable

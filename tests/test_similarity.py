@@ -1,0 +1,84 @@
+"""ANN operators: brute-force correctness vs NumPy; LSH/IVF recall on a
+planted-cluster dataset (real neighbor structure, unlike the near-random
+driver embeddings)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from coastsat_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(10, 32))
+    vecs, rows = [], []
+    for i in range(400):
+        c = centers[i % 10]
+        v = c + rng.normal(scale=0.15, size=32)
+        rows.append((i, [float(x) for x in v]))
+        vecs.append(v)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    sdf = spark.createDataFrame(rows, schema)
+    return np.array(vecs, dtype=np.float32), sdf
+
+
+def np_topk(vecs: np.ndarray, q_ids, k=5):
+    V = vecs.astype(np.float64)
+    n = np.linalg.norm(V, axis=1)
+    sims = (V @ V.T) / np.outer(n, n)
+    out = {}
+    for q in q_ids:
+        s = sims[q].copy()
+        s[q] = -np.inf
+        order = np.lexsort((np.arange(len(s)), -s))
+        out[q] = list(order[:k])
+    return out
+
+
+def test_bruteforce_matches_numpy(spark, clustered):
+    vecs, sdf = clustered
+    q = sdf.filter("vec_id < 10")
+    got = similarity.cosine_topk_bruteforce(q, sdf, k=5).toPandas()
+    exp = np_topk(vecs, range(10), 5)
+    for qid, g in got.groupby("q_id"):
+        ids = g.sort_values("rank")["c_id"].tolist()
+        assert ids == exp[qid], qid
+
+
+def test_lsh_recall_on_clusters(spark, clustered):
+    vecs, sdf = clustered
+    q = sdf.filter("vec_id < 10")
+    brute = similarity.cosine_topk_bruteforce(q, sdf, k=5).toPandas()
+    approx = similarity.cosine_topk_lsh(q, sdf, k=5, n_bits=8, n_tables=12).toPandas()
+    b = set(map(tuple, brute[["q_id", "c_id"]].to_numpy()))
+    a = set(map(tuple, approx[["q_id", "c_id"]].to_numpy()))
+    recall = len(a & b) / len(b)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_recall_on_clusters(spark, clustered):
+    vecs, sdf = clustered
+    q = sdf.filter("vec_id < 10")
+    brute = similarity.cosine_topk_bruteforce(q, sdf, k=5).toPandas()
+    approx = similarity.ivf_topk(q, sdf, n_centroids=20, n_probe=5, k=5).toPandas()
+    b = set(map(tuple, brute[["q_id", "c_id"]].to_numpy()))
+    a = set(map(tuple, approx[["q_id", "c_id"]].to_numpy()))
+    recall = len(a & b) / len(b)
+    assert recall >= 0.8, recall
+
+
+def test_lsh_buckets_deterministic(spark, clustered):
+    _, sdf = clustered
+    b1 = similarity.lsh_bucket_ids(sdf.repartition(7), n_bits=8, n_tables=2).toPandas()
+    b2 = similarity.lsh_bucket_ids(sdf.repartition(2), n_bits=8, n_tables=2).toPandas()
+    k1 = set(map(tuple, b1[["vec_id", "table", "bucket"]].to_numpy()))
+    k2 = set(map(tuple, b2[["vec_id", "table", "bucket"]].to_numpy()))
+    assert k1 == k2

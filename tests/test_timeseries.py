@@ -1,0 +1,183 @@
+"""Time-series operators: as-of vs merge_asof, despike parity, seasonal
+DJF rule, validation-join band semantics, session dedup."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from coastsat_spark import kernels
+from coastsat_spark.operators import timeseries as TS
+
+
+def test_asof_forward_backward_match_pandas(spark):
+    rng = np.random.default_rng(2)
+    lts = pd.to_datetime("2021-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 10**7, 300)), unit="s"
+    )
+    rts = pd.to_datetime("2021-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 10**7, 500)), unit="s"
+    )
+    left = pd.DataFrame({"lts": lts, "k": np.arange(300)})
+    right = pd.DataFrame({"rts": rts, "val": rng.normal(size=500)}).drop_duplicates("rts")
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    for direction, pd_dir in (("forward", "forward"), ("backward", "backward")):
+        # bucket must exceed the right series' max gap (~1.2e5 s here)
+        for bucket in (None, 500_000.0):
+            got = (
+                TS.asof_join(
+                    ldf, rdf, "lts", "rts", ["val"], direction=direction,
+                    bucket_seconds=bucket,
+                )
+                .toPandas()
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+            exp = pd.merge_asof(
+                left.sort_values("lts"), right.sort_values("rts"),
+                left_on="lts", right_on="rts", direction=pd_dir,
+            ).sort_values("k").reset_index(drop=True)
+            a, b = got["val"].to_numpy(), exp["val"].to_numpy()
+            mask = ~(np.isnan(a) & np.isnan(b))
+            assert np.allclose(a[mask], b[mask]), (direction, bucket)
+
+
+def test_asof_equal_ts_inclusive(spark):
+    left = pd.DataFrame({"lts": [pd.Timestamp("2021-01-02")], "k": [0]})
+    right = pd.DataFrame(
+        {"rts": [pd.Timestamp("2021-01-01"), pd.Timestamp("2021-01-02")], "val": [1.0, 2.0]}
+    )
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    fwd = TS.asof_join(ldf, rdf, "lts", "rts", ["val"], "forward").collect()[0]["val"]
+    bwd = TS.asof_join(ldf, rdf, "lts", "rts", ["val"], "backward").collect()[0]["val"]
+    assert fwd == 2.0 and bwd == 2.0  # >= and <= both include the tie
+
+
+def test_despike_spark_matches_kernel(spark):
+    rng = np.random.default_rng(9)
+    rows = []
+    for tr in ["A", "B"]:
+        base = np.cumsum(rng.normal(scale=0.05, size=40)) + 1.5
+        base[[7, 19]] += 3.0  # spikes
+        months = pd.date_range("2020-01-01", periods=40, freq="MS")
+        rows += [(tr, m.to_pydatetime(), float(v)) for m, v in zip(months, base)]
+    pdf = pd.DataFrame(rows, columns=["transect", "scene_month", "chainage"])
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        TS.despike_timeseries(sdf, max_cross_change=1.0)
+        .toPandas()
+        .sort_values(["transect", "scene_month"])
+        .reset_index(drop=True)
+    )
+    exps = []
+    for tr, g in pdf.groupby("transect"):
+        g = g.sort_values("scene_month")
+        keep = kernels.despike(g["chainage"].to_numpy(), 1.0)
+        exps.append(g[keep])
+    exp = pd.concat(exps).sort_values(["transect", "scene_month"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert np.allclose(got["chainage"], exp["chainage"])
+
+
+def test_season_bucket_djf_shift(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(["2020-12-15", "2021-01-10", "2021-02-28", "2021-03-01"])})
+    )
+    got = df.select(TS.season_bucket(F.col("ts")).alias("s")).toPandas()["s"].astype(str).tolist()
+    assert got == ["2021-01-01", "2021-01-01", "2021-01-01", "2021-04-01"]
+
+
+def test_monthly_average_cutoff(spark):
+    months = pd.date_range("2020-01-01", periods=6, freq="MS")
+    pdf = pd.DataFrame(
+        {
+            "transect": "A",
+            "scene_month": np.repeat(months, 2),
+            "chainage": np.arange(12, dtype=float),
+        }
+    )
+    out = TS.monthly_average(spark.createDataFrame(pdf)).toPandas()
+    # last label 2020-06-15 vs cutoff = 2020-06-01 - 30d = 2020-05-02 →
+    # June AND May dropped
+    assert str(out["month_label"].max()) == "2020-04-15"
+
+
+def test_trend_matches_numpy(spark):
+    months = pd.date_range("2020-01-01", periods=24, freq="MS")
+    y = 1.0 + 0.4 * np.arange(24) / 12.0 + np.sin(np.arange(24)) * 0.01
+    pdf = pd.DataFrame({"transect": "A", "scene_month": months, "chainage": y})
+    out = TS.trend(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    x = (months - months.min()).total_seconds() / (365.25 * 86400)
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(out["trend"] - slope) < 1e-6
+    assert abs(out["intercept"] - intercept) < 1e-6
+
+
+def test_validation_join_bands(spark):
+    sat = pd.DataFrame(
+        {
+            "transect": ["A"] * 4,
+            "scene_month": pd.to_datetime(
+                ["2021-01-10", "2021-02-10", "2021-03-15", "2021-06-01"]
+            ),
+            "chainage": [10.0, 20.0, 30.0, 40.0],
+        }
+    )
+    survey = pd.DataFrame(
+        {
+            "transect": ["A"] * 4,
+            "ts": pd.to_datetime(["2021-01-09", "2021-02-05", "2021-02-14", "2021-03-30"]),
+            "chainage": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = (
+        TS.validation_join(spark.createDataFrame(sat), spark.createDataFrame(survey))
+        .toPandas()
+        .sort_values("scene_month")
+        .reset_index(drop=True)
+    )
+    # 01-10: 1 day from 01-09 -> closest (1.0)
+    assert out["survey_chainage"][0] == 1.0
+    # 02-10: 5 days before / 4 after -> interpolate between 02-05 and 02-14
+    x = (pd.Timestamp("2021-02-10") - pd.Timestamp("2021-02-05")).days
+    span = (pd.Timestamp("2021-02-14") - pd.Timestamp("2021-02-05")).days
+    assert abs(out["survey_chainage"][1] - (2.0 + (3.0 - 2.0) * x / span)) < 1e-9
+    # 03-15: 29d before next survey? prev 02-14 (29d), next 03-30 (15d) -> >10d -> null
+    assert pd.isna(out["survey_chainage"][2])
+    # 06-01: >10 days from everything -> null
+    assert pd.isna(out["survey_chainage"][3])
+
+
+def test_dedup_close_timestamps_keeps_best(spark):
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [
+                    "2021-01-01 00:00:00",
+                    "2021-01-01 00:03:00",  # within 5 min of previous
+                    "2021-01-01 01:00:00",
+                ]
+            ),
+            "grp": ["g"] * 3,
+            "quality": [1.0, 5.0, 2.0],
+            "rid": [0, 1, 2],
+        }
+    )
+    out = (
+        TS.dedup_close_timestamps(
+            spark.createDataFrame(pdf),
+            ts_col="ts",
+            gap_seconds=300,
+            priority=[F.desc("quality")],
+            partition_cols=["grp"],
+            tiebreakers=[F.asc("rid")],
+        )
+        .toPandas()
+        .sort_values("rid")
+    )
+    assert out["rid"].tolist() == [1, 2]
+
+
+def test_tidal_correction_formula(spark):
+    pdf = pd.DataFrame({"chainage": [10.0], "tide": [0.5]})
+    out = TS.tidal_correction(spark.createDataFrame(pdf), beach_slope=0.1).collect()[0]
+    assert abs(out["chainage_corrected"] - 15.0) < 1e-12
