@@ -1,0 +1,139 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+The flagship number is the end-to-end shoreline-extraction +
+spatial-join pipeline over the deterministic webpages table at the
+matching scale (BASELINE.json metric: docs/sec + tiles/sec). The
+webpages parquet is materialized once (generation cost excluded; the
+bench measures the engine, not the generator).
+
+Run tools/scaling_study.py for the N-vs-4N parallelism measurement
+recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from coastsat_spark.datagen import ensure_webpages
+    from coastsat_spark.operators import dedup, raster, similarity, tiling, transects
+    from coastsat_spark.plans import pipeline
+    from coastsat_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    spark = get_spark(
+        app_name="coastsat_spark_bench",
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    web_path = ensure_webpages(spark, sf)
+    docs = spark.read.parquet(web_path)
+    n_docs = docs.count()  # warms the scan / JVM
+
+    def run_flagship():
+        res = pipeline.run_flagship(spark, docs)
+        return res.timeseries.count()
+
+    def run_pixel_agg():
+        prepared = tiling.prepare_documents(docs)
+        return raster.aggregate_pixels(prepared).count()
+
+    def run_shorelines():
+        prepared = tiling.prepare_documents(docs)
+        px = raster.aggregate_pixels(prepared)
+        q = raster.scene_quality(px, raster.ShorelineSettings())
+        return raster.extract_shorelines(px, quality=q).count()
+
+    def run_text_extract():
+        from coastsat_spark.functions.text import extract_text
+
+        return (
+            docs.select(F.length(extract_text(F.col("html"))).alias("n"))
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+
+    def run_pricing():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= "1995-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1)))
+            .count()
+        )
+
+    def run_minhash_dedup():
+        # deterministic ~5/6 sample via hash filter — a LIMIT would
+        # collapse to one partition and serialize the signature UDF
+        sub = docs.filter(F.pmod(F.xxhash64("url"), F.lit(6)) < 5).select(
+            F.xxhash64("url").alias("doc_id"), F.col("text")
+        )
+        return dedup.minhash_dedup_pairs(sub, k=64, bands=16, threshold=0.8).count()
+
+    def run_ann():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.limit(50)
+        return similarity.cosine_topk_bruteforce(q, emb, k=10).count()
+
+    bench_queries = {
+        "flagship_shoreline_ts": run_flagship,
+        "pixel_aggregate": run_pixel_agg,
+        "shoreline_extract": run_shorelines,
+        "text_extract": run_text_extract,
+        "pricing_summary": run_pricing,
+        "minhash_dedup_50k": run_minhash_dedup,
+        "ann_bruteforce": run_ann,
+    }
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in bench_queries.items():
+        t0 = time.perf_counter()
+        rows[name] = int(fn() or 0)
+        times[name] = round(time.perf_counter() - t0, 3)
+        # drop caches each query leaves behind so later queries measure
+        # the engine, not accumulated session state
+        spark.catalog.clearCache()
+
+    total = round(sum(times.values()), 3)
+    flagship = times["flagship_shoreline_ts"]
+    out = {
+        "metric": "end-to-end shoreline-extraction + spatial-join + training-data ops",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / flagship, 1) if flagship else None,
+        "cpus": cpus,
+        "rows": rows,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -123,13 +123,21 @@ def _stable_hash64(s: str) -> int:
 def np_minhash(texts: "pd.Series", k: int, shingle_words: int = 3, seed: int = 42) -> np.ndarray:
     """(n_docs, k) uint64 MinHash signatures over word shingles.
 
-    Universal-hash family h_i(x) = (a_i * x + b_i) mod p over splitmix64'd
-    shingle digests — one vectorized pass per doc.
+    Universal-hash family h_i(x) = (a_i * x + b_i) mod p over stable
+    shingle digests. Vectorized across the whole Arrow batch: digests are
+    computed once per *unique* shingle, the (k x total_shingles) hash
+    matrix is built in one shot, and per-doc minima come from
+    np.minimum.reduceat over the flat shingle stream — no per-doc matmul.
     """
     rng_idx = np.arange(k, dtype=np.uint64)
     a = (splitmix64(rng_idx + np.uint64(seed * 1000 + 1)) | np.uint64(1)).astype(np.uint64)
     b = splitmix64(rng_idx + np.uint64(seed * 1000 + 2)).astype(np.uint64)
-    out = np.full((len(texts), k), np.iinfo(np.uint64).max, dtype=np.uint64)
+    n = len(texts)
+    out = np.full((n, k), np.iinfo(np.uint64).max, dtype=np.uint64)
+
+    digest_cache: dict[str, int] = {}
+    flat: list[int] = []
+    counts = np.zeros(n, dtype=np.int64)
     for row, text in enumerate(texts):
         toks = [t.lower() for t in tokenize(text or "") if t.isalnum()]
         if len(toks) >= shingle_words:
@@ -141,13 +149,22 @@ def np_minhash(texts: "pd.Series", k: int, shingle_words: int = 3, seed: int = 4
             sh = {" ".join(toks)}
         else:
             continue
-        digests = splitmix64(
-            np.array([_stable_hash64(s) for s in sorted(sh)], dtype=np.uint64)
-        )
-        with np.errstate(over="ignore"):
-            # (k, n_shingles) matrix of hashes; min over shingles
-            hv = (a[:, None] * digests[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-        out[row] = hv.min(axis=1)
+        for s in sh:
+            d = digest_cache.get(s)
+            if d is None:
+                d = _stable_hash64(s)
+                digest_cache[s] = d
+            flat.append(d)
+        counts[row] = len(sh)
+    if not flat:
+        return out
+    digests = splitmix64(np.array(flat, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        hv = (a[:, None] * digests[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    nonempty = np.flatnonzero(counts)
+    starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
+    mins = np.minimum.reduceat(hv, starts, axis=1)  # (k, n_nonempty)
+    out[nonempty] = mins.T
     return out
 
 

@@ -42,6 +42,11 @@ def run_flagship(
     s = settings or raster.ShorelineSettings()
     prepared = tiling.prepare_documents(docs)
     pixels = raster.aggregate_pixels(prepared)
+    # the pixel aggregate is the pipeline's natural materialization
+    # boundary: ~G*G rows per scene regardless of doc volume. Persisting
+    # it means the doc scan + geotag-parse UDF run once, not once per
+    # downstream consumer (quality gate, extraction, metrics).
+    pixels = pixels.persist()
     quality = raster.scene_quality(pixels, s)
     shorelines = raster.extract_shorelines(pixels, s, quality=quality)
     tr = transects.transects_df(spark, n_transects)
