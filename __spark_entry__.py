@@ -551,6 +551,54 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_pairs(d, max_hamming=3)
 
 
+def q_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coastsat_spark.operators.dedup import minhash_dedup_assign
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return minhash_dedup_assign(d, k=128, bands=32)
+
+
+def q_classify_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coastsat_spark.operators import classify, raster, tiling
+
+    docs = _webpages(spark, sf_dir)
+    prepared = tiling.prepare_documents(docs)
+    px = raster.aggregate_pixels(prepared)
+    return classify.classify_scenes(px)
+
+
+def q_slope_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic synthetic 8-day series per transect (the flagship's
+    # quarterly cadence cannot resolve tidal frequencies; the reference
+    # subsamples to n_days for the same reason, SDS_slope.py:453-464)
+    import math
+
+    from coastsat_spark.operators.slope import SlopeSettings, estimate_slopes
+
+    n = 150
+    rows = spark.range(n * 2)
+    tr = F.when(F.col("id") < n, F.lit("T_A")).otherwise(F.lit("T_B"))
+    slope_true = F.when(F.col("id") < n, F.lit(0.08)).otherwise(F.lit(0.15))
+    i = F.col("id") % n
+    t = i * F.lit(8.0 * 86400.0)
+    tide = F.lit(0.5) * F.sin(t * F.lit(2 * math.pi / (12.4206 * 3600))) + F.lit(0.2) * F.sin(
+        t * F.lit(2 * math.pi / (14.77 * 86400))
+    )
+    seasonal = F.lit(5.0) * F.sin(t * F.lit(2 * math.pi / (365.25 * 86400)))
+    chain = F.lit(50.0) + seasonal - tide / slope_true
+    df = rows.select(
+        tr.alias("transect"),
+        F.timestamp_seconds(F.lit(1577836800) + t.cast("long")).alias("scene_month"),
+        chain.alias("chainage"),
+        tide.alias("tide"),
+    )
+    out = estimate_slopes(df, SlopeSettings())
+    return out.select(
+        "transect", F.round("slope", 4).alias("slope"),
+        F.round("ci_low", 4).alias("ci_low"), F.round("ci_high", 4).alias("ci_high"), "n",
+    )
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from coastsat_spark.operators.similarity import cosine_topk_bruteforce
 
@@ -640,7 +688,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "fingerprints": q_fingerprints,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_assign": q_minhash_assign,
         "simhash_pairs": q_simhash_pairs,
+        "classify_scenes": q_classify_scenes,
+        "slope_estimation": q_slope_estimation,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,

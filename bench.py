@@ -86,12 +86,11 @@ def main() -> None:
         )
 
     def run_minhash_dedup():
-        # deterministic ~5/6 sample via hash filter — a LIMIT would
-        # collapse to one partition and serialize the signature UDF
-        sub = docs.filter(F.pmod(F.xxhash64("url"), F.lit(6)) < 5).select(
-            F.xxhash64("url").alias("doc_id"), F.col("text")
-        )
-        return dedup.minhash_dedup_pairs(sub, k=64, bands=16, threshold=0.8).count()
+        # canonical-assignment dedup (linear output — pair enumeration is
+        # quadratic in near-dup cluster size and is not the scale path)
+        sub = docs.select(F.xxhash64("url").alias("doc_id"), F.col("text"))
+        out = dedup.minhash_dedup_assign(sub, k=64, bands=16)
+        return out.filter(F.col("canonical_id") != F.col("doc_id")).count()
 
     def run_ann():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -104,7 +103,7 @@ def main() -> None:
         "shoreline_extract": run_shorelines,
         "text_extract": run_text_extract,
         "pricing_summary": run_pricing,
-        "minhash_dedup_50k": run_minhash_dedup,
+        "minhash_dedup_assign": run_minhash_dedup,
         "ann_bruteforce": run_ann,
     }
 

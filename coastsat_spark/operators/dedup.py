@@ -243,6 +243,70 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_dedup_assign(
+    docs: DataFrame,
+    k: int = 128,
+    bands: int = 32,
+    max_iters: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale path for MinHash dedup: canonical-id ASSIGNMENT instead of
+    pair enumeration.
+
+    Near-dup clusters make the pair set quadratic in cluster size (a
+    600-doc template cluster is ~180k pairs); the assignment output is
+    linear. Connected components over the bucket graph are computed by
+    iterative min-label propagation (doc -> min over its buckets of the
+    bucket's min label), converging in O(component diameter) rounds.
+
+    Returns (doc_id, canonical_id) where canonical_id is the smallest
+    doc id reachable through shared LSH buckets.
+    """
+    sigs = minhash_signatures(docs, k, text_col=text_col, id_col=id_col)
+    rows_per_band = (F.size("sig") / F.lit(bands)).cast("int")
+    buckets = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("sig", bnd * rows_per_band + 1, rows_per_band))
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bkey").persist()
+
+    labels = buckets.select(id_col).distinct().withColumn("label", F.col(id_col))
+    for _ in range(max_iters):
+        joined = buckets.join(labels, id_col)
+        bucket_min = joined.groupBy("band", "bkey").agg(F.min("label").alias("bmin"))
+        new_labels = (
+            buckets.join(bucket_min, ["band", "bkey"])
+            .groupBy(id_col)
+            .agg(F.min("bmin").alias("new_label"))
+        )
+        merged = labels.join(new_labels, id_col, "left").select(
+            id_col,
+            F.least(F.col("label"), F.coalesce(F.col("new_label"), F.col("label"))).alias(
+                "label"
+            ),
+        ).persist()
+        changed = (
+            merged.join(labels.withColumnRenamed("label", "old"), id_col)
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            break
+    buckets.unpersist()
+    return labels.withColumnRenamed("label", "canonical_id")
+
+
 # ---------------------------------------------------------------- SimHash
 
 def np_simhash(texts: "pd.Series", seed: int = 42) -> np.ndarray:

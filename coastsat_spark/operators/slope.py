@@ -1,0 +1,199 @@
+"""Beach-slope estimation via spectral analysis (R16).
+
+Re-expression of the reference's SDS_slope chain (file:line into
+/root/reference/coastsat/SDS_slope.py):
+- range_slopes            :252-261  (candidate slope grid, incl. the
+                                     decimal-rounding rule)
+- tide_correct            :270-279  (chainage + tide/slope per candidate)
+- frequency_grid          :281-289
+- Lomb-Scargle PSD        :291-302  (astropy absent -> own generalized
+                                     floating-mean Lomb-Scargle, psd norm)
+- find_tide_peak          :256-298  (peak picking in the tide spectrum)
+- integrate_power_spectrum:300-350  (energy-in-tidal-band argmin + CI)
+
+The principle: the WRONG beach slope leaves residual tidal-frequency
+energy in the tidally corrected time series; the best slope minimizes
+spectral energy in the tidal peak band. Embarrassingly parallel per
+transect -> groupBy(transect).applyInPandas.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_slopes(min_slope: float, max_slope: float, delta: float) -> np.ndarray:
+    slopes = []
+    s = min_slope
+    while s < max_slope:
+        slopes.append(s)
+        s += delta
+    slopes.append(s)
+    decimals = len(str(delta).split(".")[1])
+    return np.round(np.array(slopes), decimals)
+
+
+def frequency_grid(t: np.ndarray, time_step: float, n0: int) -> np.ndarray:
+    T = np.max(t) - np.min(t)
+    fmin = 1.0 / T
+    fmax = 1.0 / (2.0 * time_step)  # Nyquist
+    df = 1.0 / (n0 * T)
+    n = int(np.ceil((fmax - fmin) / df))
+    return fmin + df * np.arange(n)
+
+
+def lomb_scargle_psd(t: np.ndarray, y: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+    """Generalized (floating-mean) Lomb-Scargle periodogram, psd
+    normalization, unit weights — own NumPy implementation of the
+    published GLS formulation (Zechmeister & Kuerster 2009)."""
+    t = np.asarray(t, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    y = y - y.mean()
+    ps = np.empty(len(freqs))
+    two_pi = 2.0 * np.pi
+    for i, f in enumerate(freqs):
+        w = two_pi * f
+        wt = w * t
+        c = np.cos(wt)
+        s = np.sin(wt)
+        cm, sm = c.mean(), s.mean()
+        # floating-mean corrections
+        cc = (c * c).mean() - cm * cm
+        ss = (s * s).mean() - sm * sm
+        cs = (c * s).mean() - cm * sm
+        yc = (y * c).mean() - y.mean() * cm
+        ys = (y * s).mean() - y.mean() * sm
+        d = cc * ss - cs * cs
+        if d <= 0:
+            ps[i] = 0.0
+            continue
+        p = (ss * yc * yc + cc * ys * ys - 2.0 * cs * yc * ys) / d
+        ps[i] = 0.5 * len(t) * p
+    return ps
+
+
+def simpson(y: np.ndarray, x: np.ndarray) -> float:
+    """Composite Simpson on a (possibly non-uniform) grid — same scheme
+    as the published composite rule scipy implements; trapezoid fallback
+    for a trailing interval when the point count is even."""
+    y = np.asarray(y, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n < 2:
+        return 0.0
+    if n == 2:
+        return float((x[1] - x[0]) * (y[0] + y[1]) / 2.0)
+    total = 0.0
+    i = 0
+    while i + 2 < n:
+        h0 = x[i + 1] - x[i]
+        h1 = x[i + 2] - x[i + 1]
+        hsum = h0 + h1
+        total += (hsum / 6.0) * (
+            y[i] * (2.0 - h1 / h0)
+            + y[i + 1] * (hsum * hsum / (h0 * h1))
+            + y[i + 2] * (2.0 - h0 / h1)
+        )
+        i += 2
+    if i + 1 < n:  # leftover interval -> trapezoid
+        total += (x[i + 1] - x[i]) * (y[i] + y[i + 1]) / 2.0
+    return float(total)
+
+
+def find_peaks_1d(y: np.ndarray) -> np.ndarray:
+    """Indices of strict local maxima (plateau-free simple peaks)."""
+    y = np.asarray(y)
+    idx = np.flatnonzero((y[1:-1] > y[:-2]) & (y[1:-1] > y[2:])) + 1
+    return idx
+
+
+@dataclass
+class SlopeSettings:
+    n_days: float = 8.0  # sampling period of the sub-sampled series
+    n0: int = 50  # frequency oversampling
+    freq_cutoff: float = 1.0 / (30 * 24 * 3600.0)  # ignore sub-monthly peaks
+    delta_f: float = 1e-8
+    slope_min: float = 0.01
+    slope_max: float = 0.2
+    delta_slope: float = 0.005
+    prc_conf: float = 0.05
+
+
+def find_tide_peak(t: np.ndarray, tide: np.ndarray, s: SlopeSettings) -> tuple[float, float]:
+    """Band [f-df, f+df] around the strongest high-frequency tide peak."""
+    freqs = frequency_grid(t, s.n_days * 86400.0, s.n0)
+    ps = lomb_scargle_psd(t, tide, freqs)
+    idx = find_peaks_1d(ps)
+    idx = idx[np.argsort(ps[idx])[::-1]]
+    ok = idx[(freqs[idx] > s.freq_cutoff) & (freqs[idx] < freqs[-1] - s.delta_f)]
+    if len(ok) == 0:
+        raise ValueError("no tidal peak found above frequency cutoff")
+    fpk = freqs[ok[0]]
+    return fpk - s.delta_f, fpk + s.delta_f
+
+
+def estimate_slope_1d(
+    t: np.ndarray,
+    chain: np.ndarray,
+    tide: np.ndarray,
+    freqs_max: tuple[float, float],
+    s: SlopeSettings,
+) -> tuple[float, float, float]:
+    """(slope, ci_low, ci_high): argmin of tidal-band energy over the
+    candidate slope grid (integrate_power_spectrum, :300-350)."""
+    freqs = frequency_grid(t, s.n_days * 86400.0, s.n0)
+    band = (freqs >= freqs_max[0]) & (freqs <= freqs_max[1])
+    slopes = range_slopes(s.slope_min, s.slope_max, s.delta_slope)
+    E = np.empty(len(slopes))
+    for i, sl in enumerate(slopes):
+        ts = chain + tide / sl
+        ps = lomb_scargle_psd(t, ts, freqs)
+        E[i] = simpson(ps[band], freqs[band])
+    best = slopes[np.argmin(E)]
+    # CI: slopes (at half-delta interpolation) with energy <= min*(1+prc)
+    fine = range_slopes(s.slope_min, s.slope_max, s.delta_slope / 2.0)
+    fine = np.clip(fine, slopes[0], slopes[-1])
+    E_fine = np.interp(fine, slopes, E)
+    low = fine[E_fine <= E.min() * (1.0 + s.prc_conf)]
+    if len(low) > 1:
+        return float(best), float(low[0]), float(low[-1])
+    return float(best), float(best), float(best)
+
+
+def estimate_slopes(
+    ts: DataFrame,
+    settings: SlopeSettings | None = None,
+    time_col: str = "scene_month",
+) -> DataFrame:
+    """Per-transect slope estimation over a (transect, ts, chainage, tide)
+    table: one applyInPandas group per transect (R16)."""
+    s = settings or SlopeSettings()
+    schema = "transect string, slope double, ci_low double, ci_high double, n int"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=["chainage", "tide"]).sort_values(time_col)
+        if len(pdf) < 20:
+            return pd.DataFrame(
+                {"transect": [pdf["transect"].iloc[0]], "slope": [np.nan],
+                 "ci_low": [np.nan], "ci_high": [np.nan], "n": [len(pdf)]}
+            )
+        t = pdf[time_col].astype("datetime64[us]").astype(np.int64).to_numpy() / 1e6
+        chain = pdf["chainage"].to_numpy(float)
+        tide = pdf["tide"].to_numpy(float)
+        fmax = find_tide_peak(t, tide, s)
+        slope, lo, hi = estimate_slope_1d(t, chain, tide, fmax, s)
+        return pd.DataFrame(
+            {"transect": [pdf["transect"].iloc[0]], "slope": [slope],
+             "ci_low": [lo], "ci_high": [hi], "n": [len(pdf)]}
+        )
+
+    return (
+        ts.select("transect", time_col, "chainage", "tide")
+        .groupBy("transect")
+        .applyInPandas(fn, schema=schema)
+    )

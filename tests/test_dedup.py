@@ -85,6 +85,15 @@ def test_simhash_near_dups(spark, planted):
         assert (i, 60 + i) in set(map(tuple, zero[["id_a", "id_b"]].to_numpy()))
 
 
+def test_minhash_assignment_matches_planted_clusters(spark, planted):
+    _, sdf = planted
+    out = dedup.minhash_dedup_assign(sdf, k=128, bands=32).toPandas()
+    m = dict(zip(out["doc_id"], out["canonical_id"]))
+    assert sum(m[60 + i] == i for i in range(10)) == 10  # near-dups
+    assert all(m[60 + i] == i for i in range(10, 13))  # exact dups
+    assert sum(1 for d, c in m.items() if c != d and not (60 <= d <= 72)) == 0
+
+
 def test_pigeonhole_banding_complete(spark, planted):
     """Any pair with hamming <= n_bands-1 must be found (pigeonhole)."""
     pdf, sdf = planted
