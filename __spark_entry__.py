@@ -395,6 +395,30 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BBOX_SQL = {
+    "x0": "cast((doc_id * 7919) % 1000 as double) / 10.0",
+    "y0": "cast((doc_id * 104729) % 1000 as double) / 10.0",
+    "w": "cast(1 + doc_id % 17 as double)",
+    "h": "cast(1 + doc_id % 13 as double)",
+}
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J6: drop bboxes contained in a same-bucket bbox (container kept)
+    from coastsat_spark.operators.timeseries import containment_dedup
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    boxes = d.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 20).alias("bkt"),
+        F.expr(_BBOX_SQL["x0"]).alias("x0"),
+        F.expr(_BBOX_SQL["y0"]).alias("y0"),
+        (F.expr(_BBOX_SQL["x0"]) + F.expr(_BBOX_SQL["w"])).alias("x1"),
+        (F.expr(_BBOX_SQL["y0"]) + F.expr(_BBOX_SQL["h"])).alias("y1"),
+    )
+    return containment_dedup(boxes, "bkt", ("x0", "y0", "x1", "y1"), "id")
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token counting via the shared BPE-ish regex (SQL-expressible form)
     d = spark.read.parquet(_t(sf_dir, "documents"))
@@ -670,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_join": q_validation_join,
         "cell_assign": q_cell_assign,
         "pip_join": q_pip_join,
+        "containment_dedup": q_containment_dedup,
         "knn_join": q_knn_join,
         "token_stats": q_token_stats,
         "exact_dedup": q_exact_dedup,
@@ -889,6 +914,24 @@ def oracle_sql() -> dict[str, str]:
                             / (epoch(a_ts::DATE::TIMESTAMP) - epoch(b_ts::DATE::TIMESTAMP))
                      ELSE NULL END, 4) AS survey_value
             FROM j
+        """,
+        "containment_dedup": f"""
+            WITH boxes AS (
+              SELECT doc_id AS id, doc_id % 20 AS bkt,
+                     {_BBOX_SQL["x0"]} AS x0, {_BBOX_SQL["y0"]} AS y0,
+                     {_BBOX_SQL["x0"]} + {_BBOX_SQL["w"]} AS x1,
+                     {_BBOX_SQL["y0"]} + {_BBOX_SQL["h"]} AS y1
+              FROM documents
+            ), contained AS (
+              SELECT DISTINCT a.id FROM boxes a JOIN boxes b
+                ON a.bkt = b.bkt AND a.id <> b.id
+              WHERE b.x0 <= a.x0 AND b.y0 <= a.y0 AND b.x1 >= a.x1 AND b.y1 >= a.y1
+                AND (b.x0 < a.x0 OR b.y0 < a.y0 OR b.x1 > a.x1 OR b.y1 > a.y1
+                     OR (b.x0 = a.x0 AND b.y0 = a.y0 AND b.x1 = a.x1 AND b.y1 = a.y1
+                         AND b.id < a.id))
+            )
+            SELECT id, bkt, x0, y0, x1, y1 FROM boxes
+            WHERE id NOT IN (SELECT id FROM contained)
         """,
         "cell_assign": f"""
             SELECT {encode_cell_sql(_LAT_SQL, _LON_SQL, 6)} AS cell, count(*) AS n_docs

@@ -328,6 +328,64 @@ def point_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.nda
     return inside
 
 
+def buffer_mask(shape: tuple[int, int], rows: np.ndarray, cols: np.ndarray, radius: float) -> np.ndarray:
+    """R7: boolean mask of pixels within `radius` of any reference point
+    (create_shoreline_buffer analog, SDS_shoreline.py:525-584 — disk
+    dilation expressed as a distance threshold). Exact brute force; grids
+    here are <= GRID^2 pixels so O(px * points) is bounded."""
+    h, w = shape
+    out = np.zeros(shape, dtype=bool)
+    if len(rows) == 0:
+        return out
+    yy, xx = np.mgrid[0:h, 0:w]
+    d2 = (yy[..., None] - np.asarray(rows)[None, None, :]) ** 2 + (
+        xx[..., None] - np.asarray(cols)[None, None, :]
+    ) ** 2
+    return (d2.min(axis=2) <= radius * radius)
+
+
+def hist_match(source: np.ndarray, template: np.ndarray) -> np.ndarray:
+    """Histogram matching: remap `source` values so their empirical CDF
+    matches `template`'s (SDS_preprocess.py:422-464 analog, NaN-free
+    inputs)."""
+    s = np.asarray(source, dtype=np.float64).ravel()
+    t = np.asarray(template, dtype=np.float64).ravel()
+    s_sorted = np.argsort(s, kind="stable")
+    s_quantiles = np.empty(len(s))
+    s_quantiles[s_sorted] = (np.arange(len(s)) + 0.5) / len(s)
+    t_sorted = np.sort(t)
+    t_quantiles = (np.arange(len(t)) + 0.5) / len(t)
+    matched = np.interp(s_quantiles, t_quantiles, t_sorted)
+    return matched.reshape(np.shape(source))
+
+
+def pansharpen(ms: np.ndarray, pan: np.ndarray, mask: np.ndarray | None = None) -> np.ndarray:
+    """R4: PCA pansharpening — replace PC1 of the multispectral stack
+    with the histogram-matched pan band, inverse transform
+    (SDS_preprocess.py:466-514 analog; PCA by SVD on unmasked pixels).
+
+    ms: (h, w, k) float; pan: (h, w); mask: True = exclude.
+    """
+    h, w, k = ms.shape
+    m = np.zeros((h, w), dtype=bool) if mask is None else np.asarray(mask, dtype=bool)
+    good = ~m & np.isfinite(ms).all(axis=2) & np.isfinite(pan)
+    X = ms[good]  # (n, k)
+    if len(X) < k + 1:
+        return ms.copy()
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    # PCA via SVD (deterministic sign fix: largest-abs component positive)
+    _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
+    signs = np.sign(Vt[np.arange(k), np.abs(Vt).argmax(axis=1)])
+    Vt = Vt * signs[:, None]
+    pcs = Xc @ Vt.T
+    pcs[:, 0] = hist_match(pan[good], pcs[:, 0])
+    Xs = pcs @ Vt + mu
+    out = ms.copy()
+    out[good] = Xs
+    return out
+
+
 # ------------------------------------------------------- despike (W3)
 
 def despike(chainage: np.ndarray, max_cross_change: float) -> np.ndarray:

@@ -278,33 +278,49 @@ def minhash_dedup_assign(
                 ),
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bkey").persist()
+    ).select(id_col, "bk.band", "bk.bkey")
 
-    labels = buckets.select(id_col).distinct().withColumn("label", F.col(id_col))
-    for _ in range(max_iters):
-        joined = buckets.join(labels, id_col)
-        bucket_min = joined.groupBy("band", "bkey").agg(F.min("label").alias("bmin"))
-        new_labels = (
+    # PRUNE: only buckets with >=2 docs carry dedup signal. In a web
+    # corpus the vast majority of docs are unique, so this one aggregate
+    # shrinks the iteration working set by an order of magnitude before
+    # any label propagation happens.
+    dup_buckets = (
+        buckets.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("band", "bkey")
+    )
+    buckets = buckets.join(dup_buckets, ["band", "bkey"], "left_semi").persist()
+
+    labels = buckets.select(id_col).distinct().withColumn("label", F.col(id_col)).persist()
+    for it in range(max_iters):
+        bucket_min = (
+            buckets.join(labels, id_col)
+            .groupBy("band", "bkey")
+            .agg(F.min("label").alias("bmin"))
+        )
+        merged = (
             buckets.join(bucket_min, ["band", "bkey"])
             .groupBy(id_col)
-            .agg(F.min("bmin").alias("new_label"))
+            .agg(F.min("bmin").alias("label"))
+            .persist()
         )
-        merged = labels.join(new_labels, id_col, "left").select(
-            id_col,
-            F.least(F.col("label"), F.coalesce(F.col("new_label"), F.col("label"))).alias(
-                "label"
-            ),
-        ).persist()
         changed = (
             merged.join(labels.withColumnRenamed("label", "old"), id_col)
             .filter(F.col("label") != F.col("old"))
             .count()
         )
+        labels.unpersist()
         labels = merged
         if changed == 0:
             break
     buckets.unpersist()
-    return labels.withColumnRenamed("label", "canonical_id")
+    # docs never seen in a duplicate bucket are their own canonical
+    all_ids = docs.select(F.col(id_col))
+    out = all_ids.join(labels, id_col, "left").select(
+        id_col, F.coalesce(F.col("label"), F.col(id_col)).alias("canonical_id")
+    )
+    return out
 
 
 # ---------------------------------------------------------------- SimHash

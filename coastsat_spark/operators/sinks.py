@@ -1,0 +1,111 @@
+"""Vector / tabular sinks (S9/S10).
+
+The reference exports shorelines as GeoJSON lines/points via GeoPandas
+(`output_to_gdf` SDS_tools.py:766-816, `transects_to_gdf` :818-849) and
+the transect time-series matrix as CSV (example.py:332-341). Here:
+
+- GeoJSON features are assembled *distributed* (one JSON text row per
+  feature via to_json on a struct — no driver-side geometry work), then
+  written as a text part-file set; `write_geojson_file` offers the
+  collect-to-driver single-file form for small outputs (the reference's
+  actual regime: thousands of features).
+- The time-series export pivots the long table to the reference's wide
+  (date x transect) CSV shape at the very end — pivot only at export
+  (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shoreline_features(points: DataFrame) -> DataFrame:
+    """One GeoJSON LineString feature per (tile, scene, contour):
+    (feature string) rows, built with collect_list over an ordered window.
+    """
+    w_cols = ["tile", "scene_month", "contour_id"]
+    pts = points.select(
+        *w_cols,
+        "point_idx",
+        F.array(F.round("lon", 6), F.round("lat", 6)).alias("coord"),
+        "t_mndwi",
+    )
+    grouped = (
+        pts.groupBy(*w_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("point_idx"), F.col("coord")))
+            ).alias("ordered"),
+            F.first("t_mndwi").alias("t_mndwi"),
+        )
+        .withColumn("coords", F.col("ordered.coord"))
+        .drop("ordered")
+    )
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("LineString").alias("type"), F.col("coords").alias("coordinates")
+            ).alias("geometry"),
+            F.struct(
+                F.col("tile"),
+                F.date_format("scene_month", "yyyy-MM-dd").alias("date"),
+                F.col("contour_id"),
+                F.round("t_mndwi", 6).alias("t_mndwi"),
+            ).alias("properties"),
+        )
+    )
+    return grouped.select(feature.alias("feature"))
+
+
+def write_geojson_file(features: DataFrame, path: str) -> int:
+    """Small-output sink: assemble one FeatureCollection file on the
+    driver (the reference's regime). Returns the feature count."""
+    rows = [r["feature"] for r in features.collect()]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write('{"type": "FeatureCollection", "features": [\n')
+        fh.write(",\n".join(rows))
+        fh.write("\n]}\n")
+    return len(rows)
+
+
+def transects_to_geojson(transects_pdf, path: str) -> int:
+    """Transect dimension table -> GeoJSON LineStrings (driver-side; the
+    table is tiny by construction)."""
+    feats = []
+    for _, t in transects_pdf.iterrows():
+        feats.append(
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "LineString",
+                    "coordinates": [[t.x0, t.y0], [t.x1, t.y1]],
+                },
+                "properties": {"name": t.transect},
+            }
+        )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump({"type": "FeatureCollection", "features": feats}, fh)
+    return len(feats)
+
+
+def timeseries_wide(ts: DataFrame, time_col: str = "scene_month") -> DataFrame:
+    """Long (transect, ts, chainage) -> wide (date x transect) matrix —
+    the NARRA_time_series CSV shape; pivot only at export."""
+    return (
+        ts.groupBy(time_col)
+        .pivot("transect")
+        .agg(F.first("chainage"))
+        .orderBy(time_col)
+    )
+
+
+def write_timeseries_csv(ts: DataFrame, path: str, time_col: str = "scene_month") -> None:
+    wide = timeseries_wide(ts, time_col)
+    wide.coalesce(1).write.mode("overwrite").option("header", True).csv(path)

@@ -280,6 +280,87 @@ def error_stats(joined: DataFrame) -> DataFrame:
     )
 
 
+def tidal_range_stats(tides: DataFrame, partition_cols: list[str] | None = None) -> DataFrame:
+    """A12: mean high water / mean low water / tidal range from signal
+    peaks (compute_tidal_range analog, SDS_slope.py:70-84). Peak finding
+    is sequential -> per-group applyInPandas; one group per location."""
+    import numpy as np
+
+    from ..operators.slope import find_peaks_1d
+
+    pc = partition_cols or []
+    key_cols = pc or ["_g"]
+    d = tides if pc else tides.withColumn("_g", F.lit(1))
+    schema = (
+        ", ".join(f"{c} string" for c in key_cols)
+        + ", mhw double, mlw double, tidal_range double, n_peaks int"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        y = pdf["tide"].to_numpy(float)
+        hi = find_peaks_1d(y)
+        lo = find_peaks_1d(-y)
+        mhw = float(np.mean(y[hi])) if len(hi) else float("nan")
+        mlw = float(np.mean(y[lo])) if len(lo) else float("nan")
+        keys = {c: [str(pdf[c].iloc[0])] for c in key_cols}
+        return pd.DataFrame(
+            {**keys, "mhw": [mhw], "mlw": [mlw],
+             "tidal_range": [mhw - mlw], "n_peaks": [int(len(hi))]}
+        )
+
+    return d.groupBy(*key_cols).applyInPandas(fn, schema=schema)
+
+
+def containment_dedup(
+    df: DataFrame,
+    bucket_col: str,
+    bbox_cols: tuple[str, str, str, str] = ("x0", "y0", "x1", "y1"),
+    id_col: str = "id",
+) -> DataFrame:
+    """J6: among rows sharing a bucket (e.g. same timestamp), drop rows
+    whose bbox is strictly contained in another row's bbox
+    (merge_overlapping_images analog, SDS_download.py:1143-1268 — the
+    container is kept, contained duplicates dropped).
+
+    Self equi-join on the bucket + containment predicate as column math;
+    anti-join removes the contained side. Ties (identical bboxes) keep
+    the smallest id.
+    """
+    ax0, ay0, ax1, ay1 = bbox_cols
+    a = df.select(
+        F.col(bucket_col).alias("_bkt"),
+        F.col(id_col).alias("_ida"),
+        *[F.col(c).alias(f"_a_{c}") for c in bbox_cols],
+    )
+    b = df.select(
+        F.col(bucket_col).alias("_bkt"),
+        F.col(id_col).alias("_idb"),
+        *[F.col(c).alias(f"_b_{c}") for c in bbox_cols],
+    )
+    contains = (
+        (F.col(f"_b_{ax0}") <= F.col(f"_a_{ax0}"))
+        & (F.col(f"_b_{ay0}") <= F.col(f"_a_{ay0}"))
+        & (F.col(f"_b_{ax1}") >= F.col(f"_a_{ax1}"))
+        & (F.col(f"_b_{ay1}") >= F.col(f"_a_{ay1}"))
+    )
+    strictly_bigger = (
+        (F.col(f"_b_{ax0}") < F.col(f"_a_{ax0}"))
+        | (F.col(f"_b_{ay0}") < F.col(f"_a_{ay0}"))
+        | (F.col(f"_b_{ax1}") > F.col(f"_a_{ax1}"))
+        | (F.col(f"_b_{ay1}") > F.col(f"_a_{ay1}"))
+    )
+    identical = ~strictly_bigger & contains
+    contained = (
+        a.join(b, "_bkt")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .filter(contains & (strictly_bigger | (identical & (F.col("_idb") < F.col("_ida")))))
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+    )
+    return df.join(contained, id_col, "left_anti")
+
+
 # --------------------------------------------------------------- W1 dedup
 
 def dedup_close_timestamps(

@@ -1,0 +1,120 @@
+"""Sinks + remaining kernels: GeoJSON export, wide pivot, pansharpen,
+hist match, buffer mask, tidal range, containment dedup."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from coastsat_spark import kernels as K
+from coastsat_spark.operators import sinks, timeseries as TS
+
+
+def test_hist_match_matches_distribution():
+    rng = np.random.default_rng(6)
+    src = rng.normal(0, 1, 5000)
+    tmpl = rng.normal(10, 3, 4000)
+    out = K.hist_match(src, tmpl)
+    assert abs(out.mean() - tmpl.mean()) < 0.2
+    assert abs(out.std() - tmpl.std()) < 0.2
+    # order preserved
+    assert (np.argsort(out) == np.argsort(src)).all()
+
+
+def test_pansharpen_injects_pan_detail():
+    rng = np.random.default_rng(7)
+    base = rng.uniform(50, 150, (16, 16))
+    ms = np.stack([base * 0.9, base * 1.0, base * 1.1], axis=-1) + rng.normal(
+        0, 1, (16, 16, 3)
+    )
+    pan = base + np.sin(np.arange(16))[None, :] * 20  # extra detail
+    out = K.pansharpen(ms, pan)
+    assert out.shape == ms.shape
+    # output correlates more with pan than input did on the injected detail
+    c_in = np.corrcoef(ms[:, :, 0].ravel(), pan.ravel())[0, 1]
+    c_out = np.corrcoef(out[:, :, 0].ravel(), pan.ravel())[0, 1]
+    assert c_out >= c_in - 1e-9
+
+
+def test_pansharpen_with_mask_and_degenerate():
+    ms = np.full((4, 4, 3), 5.0)
+    pan = np.full((4, 4), 7.0)
+    mask = np.ones((4, 4), dtype=bool)
+    out = K.pansharpen(ms, pan, mask)  # nothing unmasked -> unchanged
+    assert np.allclose(out, ms)
+
+
+def test_buffer_mask_radius():
+    m = K.buffer_mask((8, 8), np.array([4]), np.array([4]), radius=1.5)
+    assert m[4, 4] and m[4, 5] and m[5, 5]
+    assert not m[4, 6] and not m[0, 0]
+    assert K.buffer_mask((4, 4), np.array([]), np.array([]), 2.0).sum() == 0
+
+
+def test_tidal_range_stats(spark):
+    t = np.arange(0, 40 * 86400, 900)
+    tide = 1.0 * np.sin(2 * np.pi * t / (12.42 * 3600))
+    pdf = pd.DataFrame(
+        {"ts": pd.Timestamp("2021-01-01") + pd.to_timedelta(t, unit="s"), "tide": tide}
+    )
+    out = TS.tidal_range_stats(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert out["mhw"] == pytest.approx(1.0, abs=0.01)
+    assert out["mlw"] == pytest.approx(-1.0, abs=0.01)
+    assert out["tidal_range"] == pytest.approx(2.0, abs=0.02)
+
+
+def test_containment_dedup(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "bkt": ["a", "a", "a", "b", "b"],
+            "x0": [0.0, 1.0, 10.0, 0.0, 0.0],
+            "y0": [0.0, 1.0, 10.0, 0.0, 0.0],
+            "x1": [5.0, 2.0, 12.0, 3.0, 3.0],
+            "y1": [5.0, 2.0, 12.0, 3.0, 3.0],
+        }
+    )
+    out = TS.containment_dedup(
+        spark.createDataFrame(pdf), "bkt", ("x0", "y0", "x1", "y1"), "id"
+    ).toPandas()
+    kept = sorted(out["id"])
+    # 2 is inside 1 (dropped); 3 disjoint (kept); 4==5 identical -> keep min id 4
+    assert kept == [1, 3, 4]
+
+
+def test_geojson_sink_roundtrip(spark, tmp_path):
+    pts = pd.DataFrame(
+        {
+            "tile": [1, 1, 1, 1],
+            "scene_month": pd.to_datetime(["2021-01-01"] * 4),
+            "contour_id": [0, 0, 1, 1],
+            "point_idx": [1, 0, 0, 1],
+            "lon": [1.0, 0.0, 5.0, 6.0],
+            "lat": [1.0, 0.0, 5.0, 6.0],
+            "t_mndwi": [-0.2] * 4,
+        }
+    )
+    feats = sinks.shoreline_features(spark.createDataFrame(pts))
+    path = os.path.join(tmp_path, "out.geojson")
+    n = sinks.write_geojson_file(feats, path)
+    assert n == 2
+    gj = json.load(open(path))
+    assert gj["type"] == "FeatureCollection"
+    geoms = {f["properties"]["contour_id"]: f["geometry"]["coordinates"] for f in gj["features"]}
+    assert geoms[0] == [[0.0, 0.0], [1.0, 1.0]]  # point_idx ordering respected
+
+
+def test_timeseries_wide_pivot(spark):
+    pdf = pd.DataFrame(
+        {
+            "transect": ["A", "B", "A"],
+            "scene_month": pd.to_datetime(["2021-01-01", "2021-01-01", "2021-04-01"]),
+            "chainage": [1.0, 2.0, 3.0],
+        }
+    )
+    wide = sinks.timeseries_wide(spark.createDataFrame(pdf)).toPandas()
+    assert list(wide.columns) == ["scene_month", "A", "B"]
+    assert wide["A"].tolist() == [1.0, 3.0]
