@@ -396,10 +396,10 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BBOX_SQL = {
-    "x0": "cast((doc_id * 7919) % 1000 as double) / 10.0",
-    "y0": "cast((doc_id * 104729) % 1000 as double) / 10.0",
-    "w": "cast(1 + doc_id % 17 as double)",
-    "h": "cast(1 + doc_id % 13 as double)",
+    "x0": "cast((doc_id * 7919) % 300 as double) / 10.0",
+    "y0": "cast((doc_id * 104729) % 300 as double) / 10.0",
+    "w": "cast(2 + doc_id % 60 as double)",
+    "h": "cast(2 + doc_id % 55 as double)",
 }
 
 
