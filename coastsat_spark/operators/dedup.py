@@ -130,41 +130,52 @@ def np_minhash(texts: "pd.Series", k: int, shingle_words: int = 3, seed: int = 4
     np.minimum.reduceat over the flat shingle stream — no per-doc matmul.
     """
     rng_idx = np.arange(k, dtype=np.uint64)
-    a = (splitmix64(rng_idx + np.uint64(seed * 1000 + 1)) | np.uint64(1)).astype(np.uint64)
-    b = splitmix64(rng_idx + np.uint64(seed * 1000 + 2)).astype(np.uint64)
+    # per-slot salts; slot hash = splitmix64(digest ^ salt) — a full-avalanche
+    # mixer with no integer modulo (numpy uint64 % is scalar-slow)
+    salts = splitmix64(rng_idx + np.uint64(seed * 1000 + 1))
     n = len(texts)
     out = np.full((n, k), np.iinfo(np.uint64).max, dtype=np.uint64)
 
-    digest_cache: dict[str, int] = {}
-    flat: list[int] = []
-    counts = np.zeros(n, dtype=np.int64)
+    # Shingle digests with NO per-doc numpy calls: one flat token-hash
+    # stream for the whole batch, shingle digest = mix of `shingle_words`
+    # shifted multiplies, cross-doc windows masked out. Tokens are hashed
+    # once per unique token (cached blake2b). Per-doc np.unique is
+    # skipped on purpose: min over a multiset equals min over its set,
+    # so duplicate shingles cannot change a MinHash slot.
+    token_cache: dict[str, int] = {}
+    flat_tokens: list[int] = []
+    lens = np.zeros(n, dtype=np.int64)
     for row, text in enumerate(texts):
         toks = [t.lower() for t in tokenize(text or "") if t.isalnum()]
-        if len(toks) >= shingle_words:
-            sh = {
-                " ".join(toks[i : i + shingle_words])
-                for i in range(len(toks) - shingle_words + 1)
-            }
-        elif toks:
-            sh = {" ".join(toks)}
-        else:
+        if not toks:
             continue
-        for s in sh:
-            d = digest_cache.get(s)
-            if d is None:
-                d = _stable_hash64(s)
-                digest_cache[s] = d
-            flat.append(d)
-        counts[row] = len(sh)
-    if not flat:
+        if len(toks) < shingle_words:  # pad short docs to one full window
+            toks = toks + [toks[-1]] * (shingle_words - len(toks))
+        for t in toks:
+            h = token_cache.get(t)
+            if h is None:
+                h = _stable_hash64(t)
+                token_cache[t] = h
+            flat_tokens.append(h)
+        lens[row] = len(toks)
+    if not flat_tokens:
         return out
-    digests = splitmix64(np.array(flat, dtype=np.uint64))
+    th = np.array(flat_tokens, dtype=np.uint64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    w = shingle_words
+    mix = splitmix64(np.arange(w, dtype=np.uint64) + np.uint64(seed * 77 + 5))
     with np.errstate(over="ignore"):
-        hv = (a[:, None] * digests[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+        dig_flat = sum(th[i : len(th) - w + 1 + i] * mix[i] for i in range(w))
+    same_doc = doc_of[: len(th) - w + 1] == doc_of[w - 1 :]
+    digests = splitmix64(dig_flat[same_doc])
+    counts = np.maximum(lens - (w - 1), 0)
     nonempty = np.flatnonzero(counts)
     starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
-    mins = np.minimum.reduceat(hv, starts, axis=1)  # (k, n_nonempty)
-    out[nonempty] = mins.T
+    # one pass per slot keeps temporaries cache-resident (a (k, total)
+    # matrix would churn hundreds of MB of temporaries per batch)
+    for i in range(k):
+        hv = splitmix64(digests ^ salts[i])
+        out[nonempty, i] = np.minimum.reduceat(hv, starts)
     return out
 
 

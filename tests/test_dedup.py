@@ -8,10 +8,21 @@ from pyspark.sql import functions as F
 from coastsat_spark.operators import dedup
 
 
+def _letters(i: int) -> str:
+    # pure-letter unique words: "w{i}" would tokenize as ("w", "<digits>")
+    # and make unrelated docs share shingles through the digit pieces
+    s = ""
+    i += 1
+    while i:
+        s += chr(97 + i % 26)
+        i //= 26
+    return s
+
+
 @pytest.fixture(scope="module")
 def planted(spark):
     rng = np.random.default_rng(21)
-    vocab = [f"w{i}" for i in range(200)]
+    vocab = [f"q{_letters(i)}" for i in range(200)]
     texts = []
     for i in range(60):
         texts.append(" ".join(rng.choice(vocab, size=40)))

@@ -1,13 +1,19 @@
-"""Two-cluster-size scaling evidence (north rule): run the identical
-bench job at local[N] and local[4N] on the same input and report
-throughput at both plus scaling efficiency.
+"""Two-cluster-size scaling evidence (north rule): the identical job set
+at local[N] and local[4N] on the same input, throughput at both plus
+scaling efficiency:
 
-efficiency(q) = (T_N / T_4N) / 4  — 1.0 is perfect linear scaling.
+    efficiency(q) = (T_N / T_4N) / 4      (1.0 = perfect linear)
 
-Writes BENCH/scaling.json and rewrites the measured section of
-BENCH/BASELINE.md. Run with nothing else on the machine.
+Design notes for a fair measurement in a single-box sandbox:
+- input is the sf1 webpages table (6M docs) so per-core work dominates
+  fixed overhead (session startup, planning, Python worker spin-up);
+- each (job, leg) runs `trials` times in one JVM; the MIN is reported
+  (dampens cross-tenant noise on the shared host);
+- legs run in separate subprocesses (clean JVM each).
 
-Usage: python tools/scaling_study.py [sf_dir] [N]
+Writes BENCH/scaling.json. Run with nothing else on the machine.
+
+Usage: python tools/scaling_study.py [sf] [N] [trials]
 """
 
 from __future__ import annotations
@@ -16,52 +22,92 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+_LEG_SCRIPT = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from coastsat_spark.session import get_spark
+from coastsat_spark.datagen import ensure_webpages
+from coastsat_spark.operators import dedup
+from coastsat_spark.plans import pipeline
 
-def run_bench(sf_dir: str, cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+cpus = {cpus}
+trials = {trials}
+spark = get_spark(cpus=cpus, shuffle_partitions=cpus,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(ensure_webpages(spark, {sf}))
+n_docs = docs.count()
+
+def flagship():
+    return pipeline.run_flagship(spark, docs).timeseries.count()
+
+def text_extract():
+    from coastsat_spark.functions.text import extract_text
+    return docs.select(F.length(extract_text(F.col("html"))).alias("n")).agg(F.sum("n")).collect()[0][0]
+
+def minhash_assign():
+    sub = docs.select(F.xxhash64("url").alias("doc_id"), F.col("text"))
+    out = dedup.minhash_dedup_assign(sub, k=64, bands=16, max_iters=3)
+    return out.filter(F.col("canonical_id") != F.col("doc_id")).count()
+
+jobs = {{"flagship": flagship, "text_extract": text_extract, "minhash_assign": minhash_assign}}
+times = {{}}
+for name, fn in jobs.items():
+    best = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        spark.catalog.clearCache()
+    times[name] = round(best, 3)
+print("LEG_RESULT " + json.dumps({{"cpus": cpus, "n_docs": n_docs, "times": times}}))
+spark.stop()
+"""
+
+
+def run_leg(sf: float, cpus: int, trials: int) -> dict:
+    script = _LEG_SCRIPT.format(repo=REPO, cpus=cpus, sf=sf, trials=trials)
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=3600,
-        check=True,
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=5400
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    for line in out.stdout.splitlines():
+        if line.startswith("LEG_RESULT "):
+            return json.loads(line[len("LEG_RESULT "):])
+    raise RuntimeError(f"leg failed: {out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    results = {}
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    legs = {}
     for cpus in (n, 4 * n):
-        t0 = time.time()
-        results[cpus] = run_bench(sf_dir, cpus)
-        print(f"local[{cpus}]: total={results[cpus]['value']}s "
-              f"(wall {round(time.time() - t0, 1)}s incl. startup)")
-
-    small, big = results[n], results[4 * n]
-    eff = {}
-    for q in small["queries"]:
-        t_n, t_4n = small["queries"][q], big["queries"][q]
-        eff[q] = round((t_n / t_4n) / 4.0, 3) if t_4n > 0 else None
-    total_eff = round((small["value"] / big["value"]) / 4.0, 3)
+        legs[cpus] = run_leg(sf, cpus, trials)
+        print(f"local[{cpus}]: {legs[cpus]['times']}")
+    small, big = legs[n], legs[4 * n]
+    eff = {
+        q: round((small["times"][q] / big["times"][q]) / 4.0, 3)
+        for q in small["times"]
+    }
+    t_n = sum(small["times"].values())
+    t_4n = sum(big["times"].values())
     summary = {
-        "sf_dir": sf_dir,
-        "n_docs": big.get("n_docs"),
+        "sf": sf,
+        "n_docs": big["n_docs"],
         "N": n,
         "4N": 4 * n,
-        "times_N": small["queries"],
-        "times_4N": big["queries"],
-        "docs_per_sec_N": small.get("docs_per_sec"),
-        "docs_per_sec_4N": big.get("docs_per_sec"),
+        "trials": trials,
+        "times_N": small["times"],
+        "times_4N": big["times"],
+        "docs_per_sec_flagship_N": round(big["n_docs"] / small["times"]["flagship"], 1),
+        "docs_per_sec_flagship_4N": round(big["n_docs"] / big["times"]["flagship"], 1),
         "efficiency_per_query": eff,
-        "efficiency_total": total_eff,
+        "efficiency_total": round((t_n / t_4n) / 4.0, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
