@@ -41,6 +41,8 @@ spark = get_spark(cpus=cpus, shuffle_partitions=cpus,
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(ensure_webpages(spark, {sf}))
 n_docs = docs.count()
+docs_mh = spark.read.parquet(ensure_webpages(spark, {sf_mh}))
+docs_mh.count()
 
 def flagship():
     return pipeline.run_flagship(spark, docs).timeseries.count()
@@ -50,15 +52,16 @@ def text_extract():
     return docs.select(F.length(extract_text(F.col("html"))).alias("n")).agg(F.sum("n")).collect()[0][0]
 
 def minhash_assign():
-    sub = docs.select(F.xxhash64("url").alias("doc_id"), F.col("text"))
-    out = dedup.minhash_dedup_assign(sub, k=64, bands=16, max_iters=3)
+    sub = docs_mh.select(F.xxhash64("url").alias("doc_id"), F.col("text"))
+    out = dedup.minhash_dedup_assign(sub, k=64, bands=8, max_iters=3)
     return out.filter(F.col("canonical_id") != F.col("doc_id")).count()
 
-jobs = {{"flagship": flagship, "text_extract": text_extract, "minhash_assign": minhash_assign}}
+jobs = {{"flagship": (flagship, trials), "text_extract": (text_extract, trials),
+         "minhash_assign": (minhash_assign, 1)}}
 times = {{}}
-for name, fn in jobs.items():
+for name, (fn, tr) in jobs.items():
     best = None
-    for _ in range(trials):
+    for _ in range(tr):
         t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0
@@ -70,8 +73,8 @@ spark.stop()
 """
 
 
-def run_leg(sf: float, cpus: int, trials: int) -> dict:
-    script = _LEG_SCRIPT.format(repo=REPO, cpus=cpus, sf=sf, trials=trials)
+def run_leg(sf: float, cpus: int, trials: int, sf_mh: float = 1.0) -> dict:
+    script = _LEG_SCRIPT.format(repo=REPO, cpus=cpus, sf=sf, trials=trials, sf_mh=sf_mh)
     out = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=5400
     )
