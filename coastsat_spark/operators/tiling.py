@@ -61,8 +61,25 @@ def _noise(lat_i, lon_i, p: int, q: int):
     ) - F.lit(0.5)
 
 
-def with_geo(docs: DataFrame) -> DataFrame:
-    """Parse the html geotag into lat/lon columns (one pandas-UDF hop)."""
+_GEO_JVM_RE = r'<meta name="geo" content="(-?\d+\.\d+);(-?\d+\.\d+)"'
+
+
+def with_geo(docs: DataFrame, jvm: bool = True) -> DataFrame:
+    """Parse the html geotag into lat/lon columns.
+
+    Default path is pure JVM: the geo meta sits in the document head, so
+    `regexp_extract` over the first bytes cast to string stays inside
+    whole-stage codegen — NO Python on the ingestion hot path at all.
+    `jvm=False` uses the Arrow pandas UDF (general fallback; the parity
+    test asserts both paths agree byte-for-byte on the corpus).
+    """
+    if jvm:
+        head = F.substring(F.col("html"), 1, 160).cast("string")
+        lat = F.regexp_extract(head, _GEO_JVM_RE, 1)
+        lon = F.regexp_extract(head, _GEO_JVM_RE, 2)
+        return docs.withColumn(
+            "lat", F.when(lat != "", lat.cast("double"))
+        ).withColumn("lon", F.when(lon != "", lon.cast("double")))
     g = parse_geotag(F.col("html"))
     return docs.withColumn("_g", g).select("*", "_g.lat", "_g.lon").drop("_g")
 
