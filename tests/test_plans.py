@@ -1,0 +1,72 @@
+"""Physical-plan assertions: the optimizations the engine's scale story
+depends on must be visible in `explain` output, not just claimed.
+
+- column pruning: the flagship scan reads ONLY (warc_ts, html) of the
+  webpages table;
+- predicate pushdown: a warc_ts filter reaches the parquet scan as a
+  PushedFilter, and a warc_month filter prunes partitions;
+- broadcast: the transect theta-join plans as a broadcast join (no
+  sort-merge shuffle for the dimension side);
+- whole-stage codegen covers the sensor-model band math (no Python
+  eval node in the JVM-parse path).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from coastsat_spark.datagen import ensure_webpages
+from coastsat_spark.operators import raster, tiling, transects
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    return spark.read.parquet(ensure_webpages(spark, 0.001))
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_flagship_scan_prunes_columns(spark, web):
+    px = raster.aggregate_pixels(tiling.prepare_documents(web))
+    plan = _plan(px)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "html" in read and "warc_ts" in read
+    assert "text" not in read and "lang" not in read and "url" not in read
+
+
+def test_predicate_pushdown_to_parquet(spark, web):
+    f = web.filter(F.col("warc_ts") >= "2022-01-01").select("url")
+    plan = _plan(f)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "warc_ts" in pushed and "IsNotNull" in pushed
+
+
+def test_partition_pruning_on_warc_month(spark, web):
+    f = web.filter(F.col("warc_month") == "2022-03")
+    plan = _plan(f)
+    assert "PartitionFilters" in plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "warc_month" in pf
+
+
+def test_transect_join_is_broadcast(spark):
+    import pandas as pd
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lon": [0.0], "lat": [0.0], "scene_month": [pd.Timestamp("2021-01-01")]})
+    )
+    tr = transects.transects_df(spark, 11)
+    j = transects.transect_join(pts, tr)
+    plan = _plan(j)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_python_eval_on_jvm_parse_path(spark, web):
+    prepared = tiling.prepare_documents(web)
+    plan = _plan(prepared.select("tile", "green"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "[codegen id" in plan  # whole-stage codegen spans the band math
