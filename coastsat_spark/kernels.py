@@ -344,6 +344,22 @@ def buffer_mask(shape: tuple[int, int], rows: np.ndarray, cols: np.ndarray, radi
     return (d2.min(axis=2) <= radius * radius)
 
 
+def rescale_intensity(im: np.ndarray, prc_clip: float = 99.9) -> np.ndarray:
+    """R14/A10: percentile clip + stretch to [0,1]
+    (rescale_image_intensity analog, SDS_preprocess.py:516-571): values
+    above the `prc_clip` percentile saturate; NaNs pass through."""
+    x = np.asarray(im, dtype=np.float64)
+    finite = np.isfinite(x)
+    if not finite.any():
+        return x.copy()
+    hi = np.percentile(x[finite], prc_clip)
+    lo = float(x[finite].min())
+    if hi == lo:
+        return np.where(finite, 0.0, np.nan)
+    out = (np.clip(x, lo, hi) - lo) / (hi - lo)
+    return np.where(finite, out, np.nan)
+
+
 def hist_match(source: np.ndarray, template: np.ndarray) -> np.ndarray:
     """Histogram matching: remap `source` values so their empirical CDF
     matches `template`'s (SDS_preprocess.py:422-464 analog, NaN-free

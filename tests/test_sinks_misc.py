@@ -13,6 +13,14 @@ from coastsat_spark import kernels as K
 from coastsat_spark.operators import sinks, timeseries as TS
 
 
+def test_rescale_intensity():
+    im = np.array([[0.0, 50.0], [100.0, np.nan]])
+    out = K.rescale_intensity(im, prc_clip=100.0)
+    assert out[0, 0] == 0.0 and out[1, 0] == 1.0 and abs(out[0, 1] - 0.5) < 1e-12
+    assert np.isnan(out[1, 1])
+    assert np.all(K.rescale_intensity(np.full((3, 3), 7.0)) == 0.0)
+
+
 def test_hist_match_matches_distribution():
     rng = np.random.default_rng(6)
     src = rng.normal(0, 1, 5000)
