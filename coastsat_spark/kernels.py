@@ -346,15 +346,17 @@ def buffer_mask(shape: tuple[int, int], rows: np.ndarray, cols: np.ndarray, radi
 
 def rescale_intensity(im: np.ndarray, prc_clip: float = 99.9) -> np.ndarray:
     """R14/A10: percentile clip + stretch to [0,1]
-    (rescale_image_intensity analog, SDS_preprocess.py:516-571): values
-    above the `prc_clip` percentile saturate; NaNs pass through."""
+    (rescale_image_intensity analog, SDS_preprocess.py:516-571): the lower
+    bound is pinned at 0 exactly like the reference (prc_low = 0 at
+    SDS_preprocess.py:539 — negatives clamp to 0), values above the
+    `prc_clip` percentile saturate; NaNs pass through."""
     x = np.asarray(im, dtype=np.float64)
     finite = np.isfinite(x)
     if not finite.any():
         return x.copy()
     hi = np.percentile(x[finite], prc_clip)
-    lo = float(x[finite].min())
-    if hi == lo:
+    lo = 0.0
+    if hi <= lo:
         return np.where(finite, 0.0, np.nan)
     out = (np.clip(x, lo, hi) - lo) / (hi - lo)
     return np.where(finite, out, np.nan)
@@ -405,56 +407,66 @@ def pansharpen(ms: np.ndarray, pan: np.ndarray, mask: np.ndarray | None = None) 
 # ------------------------------------------------------- despike (W3)
 
 def despike(chainage: np.ndarray, max_cross_change: float) -> np.ndarray:
-    """Iterative outlier removal, faithful port of the reference's
-    order-dependent fixpoint algorithm (SDS_transects.py:484-594):
+    """Iterative outlier removal: exact behavioral port of the reference's
+    identify_outliers (SDS_transects.py:484-594), returning a keep-mask
+    over the input positions.
 
-    - single point whose jump to BOTH neighbors exceeds max_cross_change
-      with the same sign → remove, restart scan from the front;
-    - 2-point and 3-point clusters jumping together → remove the cluster;
-    - loop until a full pass removes nothing.
+    Replicates the reference's pop-and-restart scan order precisely,
+    including every branch: first/last-point removal (jump to the single
+    neighbour), the isolated-outlier rule (|d-1|>thr & |d+1|>thr & equal
+    signs), BOTH 2-consecutive-outlier combinations (c1&c5&c6 and
+    c2&c4&c7), the 3-cluster rule with the 1.5x widened outer threshold
+    (c4b&c5b&~c1&~c2&c8), and the outer while-loop's ``k+1`` early-exit
+    (a pop near the end can terminate the whole scan) — bug-for-bug.
+    Verified against a literal transcription of the reference loop on
+    randomized spiked series (tests/test_timeseries.py).
 
     Input: 1-D array ordered by time (NaNs must be pre-dropped by the
-    caller, matching SDS_transects.py:431-435). Returns a boolean keep-mask.
+    caller, matching SDS_transects.py:431-435), length >= 2 for any
+    removal to occur (the reference would index past the end on shorter
+    input; we keep everything instead of crashing).
     """
-    x = np.asarray(chainage, dtype=np.float64)
-    keep = np.ones(len(x), dtype=bool)
-    changed = True
-    while changed:
-        changed = False
-        idx = np.flatnonzero(keep)
-        if len(idx) < 3:
-            break
-        v = x[idx]
-        d = np.diff(v)
-        for k in range(1, len(v) - 1):
-            dl, dr = d[k - 1], d[k]
-            # spike up then down (or down then up), both exceeding threshold
-            if abs(dl) > max_cross_change and abs(dr) > max_cross_change and np.sign(dl) != np.sign(dr):
+    x = [float(v) for v in np.asarray(chainage, dtype=np.float64)]
+    n = len(x)
+    keep = np.ones(n, dtype=bool)
+    if n < 2:
+        return keep
+    thr = float(max_cross_change)
+    idx = list(range(n))  # original position of each surviving value
+    k = 0
+    while k < len(x):
+        popped = False
+        for k in range(len(x)):
+            if k == 0:
+                popped = abs(x[k] - x[k + 1]) > thr
+            elif k == len(x) - 1:
+                popped = abs(x[k] - x[k - 1]) > thr
+            else:
+                dm1 = x[k] - x[k - 1]
+                dp1 = x[k] - x[k + 1]
+                c1 = abs(dm1) > thr
+                c2 = abs(dp1) > thr
+                c3 = np.sign(dp1) == np.sign(dm1)
+                if c1 and c2 and c3:
+                    popped = True
+                elif 2 <= k < len(x) - 2:
+                    dm2 = x[k - 1] - x[k - 2]
+                    dp2 = x[k + 1] - x[k + 2]
+                    c4 = abs(dm2) > thr
+                    c5 = abs(dp2) > thr
+                    c6 = np.sign(dm1) == np.sign(dp2)
+                    c7 = np.sign(dp1) == np.sign(dm2)
+                    if (c1 and c5 and c6) or (c2 and c4 and c7):
+                        popped = True
+                    else:
+                        c4b = abs(dm2) > 1.5 * thr
+                        c5b = abs(dp2) > 1.5 * thr
+                        c8 = np.sign(dm2) == np.sign(dp2)
+                        popped = c4b and c5b and (not c1) and (not c2) and c8
+            if popped:
                 keep[idx[k]] = False
-                changed = True
+                del x[k]
+                del idx[k]
                 break
-            # 2-point cluster
-            if k + 2 < len(v):
-                dl2, dr2 = d[k - 1], v[k + 2] - v[k + 1]
-                step_in = abs(dl2) > max_cross_change
-                step_out = abs(dr2) > max_cross_change
-                flat_mid = abs(v[k + 1] - v[k]) <= max_cross_change
-                if step_in and step_out and flat_mid and np.sign(dl2) != np.sign(dr2):
-                    keep[idx[k]] = False
-                    keep[idx[k + 1]] = False
-                    changed = True
-                    break
-            # 3-point cluster
-            if k + 3 < len(v):
-                dl3, dr3 = d[k - 1], v[k + 3] - v[k + 2]
-                flat = (
-                    abs(v[k + 1] - v[k]) <= max_cross_change
-                    and abs(v[k + 2] - v[k + 1]) <= max_cross_change
-                )
-                if abs(dl3) > max_cross_change and abs(dr3) > max_cross_change and flat and np.sign(dl3) != np.sign(dr3):
-                    keep[idx[k]] = False
-                    keep[idx[k + 1]] = False
-                    keep[idx[k + 2]] = False
-                    changed = True
-                    break
+        k = k + 1
     return keep

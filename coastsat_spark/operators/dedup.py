@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..hashing import splitmix64
-from ..functions.text import tokenize
 
 # ------------------------------------------------------------ exact dedup
 
@@ -109,60 +108,57 @@ def jaccard_pairs(
 
 # ------------------------------------------------------------ MinHash LSH
 
-_MERSENNE = (1 << 61) - 1
+# JVM-side tokenizer for dedup fingerprints: lower() then alnum runs. This
+# is the xxhash64-token analog of functions.text.tokenize + isalnum filter
+# (identical token streams on ASCII text; single non-ASCII alnum symbols
+# are dropped here — the corpus is ASCII by construction, datagen._VOCAB).
+# Keeping tokenize + hash in the JVM means the *text column never crosses
+# the Arrow boundary*: Python only ever sees int64 token-hash arrays.
+_TOKEN_HASH_EXPR = (
+    "transform(regexp_extract_all(lower({col}), '[a-z]+|[0-9]+', 0), t -> xxhash64(t))"
+)
 
 
-def _stable_hash64(s: str) -> int:
-    """Process-independent 64-bit string hash (Python's builtin hash() is
-    salted per process — never use it executor-side)."""
-    import hashlib
-
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+def token_hashes_col(text_col: str) -> "F.Column":
+    """array<long> of per-token xxhash64 values, computed entirely JVM-side."""
+    return F.expr(_TOKEN_HASH_EXPR.format(col=text_col))
 
 
-def np_minhash(texts: "pd.Series", k: int, shingle_words: int = 3, seed: int = 42) -> np.ndarray:
-    """(n_docs, k) uint64 MinHash signatures over word shingles.
+def np_minhash_hashes(tok_arrays, k: int, shingle_words: int = 3, seed: int = 42) -> np.ndarray:
+    """(n_docs, k) uint64 MinHash signatures from per-doc token-hash arrays.
 
-    Universal-hash family h_i(x) = (a_i * x + b_i) mod p over stable
-    shingle digests. Vectorized across the whole Arrow batch: digests are
-    computed once per *unique* shingle, the (k x total_shingles) hash
-    matrix is built in one shot, and per-doc minima come from
-    np.minimum.reduceat over the flat shingle stream — no per-doc matmul.
+    Input: a sequence of int64/uint64 numpy arrays (one per doc, possibly
+    empty). Fully vectorized: one flat token-hash stream for the batch,
+    shingle digest = mix of `shingle_words` shifted multiplies with
+    cross-doc windows masked out, per-doc minima via np.minimum.reduceat.
+    The only per-row Python is the short-doc padding concat (rare).
+    Per-doc np.unique is skipped on purpose: min over a multiset equals
+    min over its set, so duplicate shingles cannot change a MinHash slot.
+    Docs with zero tokens keep the all-max sentinel row — callers must
+    filter them out (minhash_signatures does) so token-less docs never
+    collide with each other.
     """
     rng_idx = np.arange(k, dtype=np.uint64)
     # per-slot salts; slot hash = splitmix64(digest ^ salt) — a full-avalanche
     # mixer with no integer modulo (numpy uint64 % is scalar-slow)
     salts = splitmix64(rng_idx + np.uint64(seed * 1000 + 1))
-    n = len(texts)
+    n = len(tok_arrays)
     out = np.full((n, k), np.iinfo(np.uint64).max, dtype=np.uint64)
-
-    # Shingle digests with NO per-doc numpy calls: one flat token-hash
-    # stream for the whole batch, shingle digest = mix of `shingle_words`
-    # shifted multiplies, cross-doc windows masked out. Tokens are hashed
-    # once per unique token (cached blake2b). Per-doc np.unique is
-    # skipped on purpose: min over a multiset equals min over its set,
-    # so duplicate shingles cannot change a MinHash slot.
-    token_cache: dict[str, int] = {}
-    flat_tokens: list[int] = []
-    lens = np.zeros(n, dtype=np.int64)
-    for row, text in enumerate(texts):
-        toks = [t.lower() for t in tokenize(text or "") if t.isalnum()]
-        if not toks:
-            continue
-        if len(toks) < shingle_words:  # pad short docs to one full window
-            toks = toks + [toks[-1]] * (shingle_words - len(toks))
-        for t in toks:
-            h = token_cache.get(t)
-            if h is None:
-                h = _stable_hash64(t)
-                token_cache[t] = h
-            flat_tokens.append(h)
-        lens[row] = len(toks)
-    if not flat_tokens:
-        return out
-    th = np.array(flat_tokens, dtype=np.uint64)
-    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
     w = shingle_words
+    parts = []
+    lens = np.zeros(n, dtype=np.int64)
+    for row, a in enumerate(tok_arrays):
+        a = np.asarray(a, dtype=np.int64)
+        if a.size == 0:
+            continue
+        if a.size < w:  # pad short docs to one full window
+            a = np.concatenate([a, np.repeat(a[-1], w - a.size)])
+        parts.append(a)
+        lens[row] = a.size
+    if not parts:
+        return out
+    th = np.concatenate(parts).view(np.uint64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
     mix = splitmix64(np.arange(w, dtype=np.uint64) + np.uint64(seed * 77 + 5))
     with np.errstate(over="ignore"):
         dig_flat = sum(th[i : len(th) - w + 1 + i] * mix[i] for i in range(w))
@@ -182,39 +178,56 @@ def np_minhash(texts: "pd.Series", k: int, shingle_words: int = 3, seed: int = 4
 def minhash_signatures(
     docs: DataFrame, k: int = 128, shingle_words: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """One row per doc: (doc_id, sig array<long>) via a vectorized UDF."""
+    """One row per doc with >=1 alnum token: (doc_id, sig array<long>).
+
+    Tokenize + token-hash run in the JVM (regexp_extract_all + xxhash64);
+    the pandas UDF receives int64 arrays only — the text column never
+    transfers to Python. Token-less docs are dropped here (they carry no
+    dedup signal and a shared sentinel signature would merge them all).
+    """
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def mh(texts: pd.Series) -> pd.Series:
-        sig = np_minhash(texts, k, shingle_words).astype(np.int64)
+    def mh(th: pd.Series) -> pd.Series:
+        sig = np_minhash_hashes(th.to_numpy(), k, shingle_words).astype(np.int64)
         return pd.Series(list(sig))
 
-    return docs.select(F.col(id_col), mh(F.col(text_col)).alias("sig"))
+    return (
+        docs.select(F.col(id_col), token_hashes_col(text_col).alias("_th"))
+        .filter(F.size("_th") > 0)
+        .select(F.col(id_col), mh(F.col("_th")).alias("sig"))
+    )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 32, id_col: str = "doc_id") -> DataFrame:
+def _band_buckets(signatures: DataFrame, k: int, bands: int, id_col: str) -> DataFrame:
+    """(id, band, bkey) rows: one LSH bucket key per band.
+
+    bkey = xxhash64 over the band's signature slots *as longs* — plain
+    codegen-able expressions (element_at + xxhash64), deliberately NOT a
+    higher-order `transform` lambda (interpreted, no codegen) and NOT a
+    string concat (pointless bytes). Profiled 24.7s -> ~3s at sf0.1.
+    """
+    r = k // bands
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.element_at("sig", b * r + i + 1) for i in range(r)]).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(F.col(id_col), F.explode(F.array(*entries)).alias("bk")).select(
+        id_col, "bk.band", "bk.bkey"
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 32, id_col: str = "doc_id", k: int = 128
+) -> DataFrame:
     """LSH banding: docs sharing any band slice become candidate pairs.
 
     Explode signatures into (band, slice-hash) keys, equi-join on the key.
     Returns distinct (id_a < id_b) candidates.
     """
-    rows_per_band = (F.size("sig") / F.lit(bands)).cast("int")
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                        )
-                    ).alias("bkey"),
-                ),
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bkey")
+    banded = _band_buckets(signatures, k, bands, id_col)
     a = banded.toDF("id_a", "band", "bkey")
     b = banded.toDF("id_b", "band", "bkey")
     return (
@@ -239,7 +252,7 @@ def minhash_dedup_pairs(
     Estimated Jaccard = fraction of equal signature slots (unbiased).
     """
     sigs = minhash_signatures(docs, k, text_col=text_col, id_col=id_col).cache()
-    cand = lsh_candidate_pairs(sigs, bands, id_col=id_col)
+    cand = lsh_candidate_pairs(sigs, bands, id_col=id_col, k=k)
     sa = sigs.toDF("id_a", "sig_a")
     sb = sigs.toDF("id_b", "sig_b")
     est = F.expr(
@@ -275,33 +288,22 @@ def minhash_dedup_assign(
     doc id reachable through shared LSH buckets.
     """
     sigs = minhash_signatures(docs, k, text_col=text_col, id_col=id_col)
-    rows_per_band = (F.size("sig") / F.lit(bands)).cast("int")
-    buckets = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.struct(
-                    bnd.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("sig", bnd * rows_per_band + 1, rows_per_band))
-                    ).alias("bkey"),
-                ),
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bkey")
+    raw_buckets = _band_buckets(sigs, k, bands, id_col).persist()
 
     # PRUNE: only buckets with >=2 docs carry dedup signal. In a web
     # corpus the vast majority of docs are unique, so this one aggregate
     # shrinks the iteration working set by an order of magnitude before
-    # any label propagation happens.
+    # any label propagation happens. raw_buckets is persisted so the
+    # signature UDF runs exactly once (the semi-join reads it twice).
     dup_buckets = (
-        buckets.groupBy("band", "bkey")
+        raw_buckets.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > 1)
         .select("band", "bkey")
     )
-    buckets = buckets.join(dup_buckets, ["band", "bkey"], "left_semi").persist()
+    buckets = raw_buckets.join(dup_buckets, ["band", "bkey"], "left_semi").persist()
+    buckets.count()  # materialize the pruned set, then drop the raw one
+    raw_buckets.unpersist()
 
     labels = buckets.select(id_col).distinct().withColumn("label", F.col(id_col)).persist()
     for it in range(max_iters):
@@ -310,10 +312,18 @@ def minhash_dedup_assign(
             .groupBy("band", "bkey")
             .agg(F.min("label").alias("bmin"))
         )
-        merged = (
+        hop = (
             buckets.join(bucket_min, ["band", "bkey"])
             .groupBy(id_col)
             .agg(F.min("bmin").alias("label"))
+        )
+        # pointer jumping: label <- label(label). One extra tiny self-join
+        # halves the remaining component diameter each round, so chains of
+        # length D converge in O(log D) rounds instead of O(D).
+        lbl2 = hop.select(F.col("label").alias("_l2"), F.col(id_col).alias("label"))
+        merged = (
+            hop.join(lbl2, "label", "left")
+            .select(id_col, F.least(F.col("label"), F.coalesce("_l2", F.col("label"))).alias("label"))
             .persist()
         )
         changed = (
@@ -336,29 +346,40 @@ def minhash_dedup_assign(
 
 # ---------------------------------------------------------------- SimHash
 
-def np_simhash(texts: "pd.Series", seed: int = 42) -> np.ndarray:
-    """64-bit SimHash over token hashes (sign-aggregated bit votes)."""
-    out = np.zeros(len(texts), dtype=np.uint64)
+def np_simhash_hashes(tok_arrays, seed: int = 42) -> np.ndarray:
+    """64-bit SimHash per doc from token-hash arrays (sign-aggregated bit
+    votes), vectorized across the whole batch: one flat token stream, one
+    (total x 64) bit matrix, per-doc vote sums via np.add.reduceat."""
+    n = len(tok_arrays)
+    out = np.zeros(n, dtype=np.uint64)
     bitw = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    for row, text in enumerate(texts):
-        toks = [t.lower() for t in tokenize(text or "") if t.isalnum()]
-        if not toks:
-            continue
-        hs = splitmix64(
-            np.array([_stable_hash64(t) for t in toks], dtype=np.uint64) + np.uint64(seed)
-        )
-        bits = (hs[:, None] & bitw[None, :]) != 0
-        votes = bits.sum(axis=0) * 2 - len(toks)
-        out[row] = np.bitwise_or.reduce(bitw[votes > 0]) if (votes > 0).any() else np.uint64(0)
+    lens = np.fromiter((len(a) for a in tok_arrays), dtype=np.int64, count=n)
+    nonempty = np.flatnonzero(lens)
+    if nonempty.size == 0:
+        return out
+    flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in tok_arrays if len(a)])
+    hs = splitmix64(flat.view(np.uint64) + np.uint64(seed))
+    bits = ((hs[:, None] & bitw[None, :]) != 0).astype(np.int32)
+    starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+    votes = 2 * np.add.reduceat(bits, starts, axis=0) - lens[nonempty, None]
+    out[nonempty] = ((votes > 0).astype(np.uint64) * bitw[None, :]).sum(axis=1, dtype=np.uint64)
     return out
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    @F.pandas_udf(T.LongType())
-    def sh(texts: pd.Series) -> pd.Series:
-        return pd.Series(np_simhash(texts).astype(np.int64))
+    """(doc_id, simhash) for docs with >=1 alnum token. Tokenize + hash are
+    JVM-side (see minhash_signatures); token-less docs are dropped so they
+    cannot all collide at the zero fingerprint."""
 
-    return docs.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+    @F.pandas_udf(T.LongType())
+    def sh(th: pd.Series) -> pd.Series:
+        return pd.Series(np_simhash_hashes(th.to_numpy()).astype(np.int64))
+
+    return (
+        docs.select(F.col(id_col), token_hashes_col(text_col).alias("_th"))
+        .filter(F.size("_th") > 0)
+        .select(F.col(id_col), sh(F.col("_th")).alias("simhash"))
+    )
 
 
 def simhash_dup_pairs(

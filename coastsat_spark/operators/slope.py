@@ -176,10 +176,13 @@ def estimate_slopes(
     schema = "transect string, slope double, ci_low double, ci_high double, n int"
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # capture the key BEFORE dropna: an all-null group (e.g. from
+        # qc_intersections with multiple_inter='nan') must not IndexError
+        key = pdf["transect"].iat[0]
         pdf = pdf.dropna(subset=["chainage", "tide"]).sort_values(time_col)
         if len(pdf) < 20:
             return pd.DataFrame(
-                {"transect": [pdf["transect"].iloc[0]], "slope": [np.nan],
+                {"transect": [key], "slope": [np.nan],
                  "ci_low": [np.nan], "ci_high": [np.nan], "n": [len(pdf)]}
             )
         t = pdf[time_col].astype("datetime64[us]").astype(np.int64).to_numpy() / 1e6

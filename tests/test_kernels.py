@@ -103,6 +103,71 @@ class TestDespike:
         x = rng.normal(scale=30, size=200)
         K.despike(x, 10)  # no hang
 
+    @staticmethod
+    def _oracle(vals, thr):
+        """Behavior oracle for the reference identify_outliers
+        (SDS_transects.py:484-594): pop-and-restart scan, returns the
+        surviving values. Kept deliberately close to the published loop
+        structure so despike()'s keep-mask can be checked against it."""
+        xs = [float(v) for v in vals]
+        k = 0
+        while k < len(xs):
+            for k in range(len(xs)):
+                hit = False
+                if k == 0:
+                    hit = abs(xs[0] - xs[1]) > thr
+                elif k == len(xs) - 1:
+                    hit = abs(xs[k] - xs[k - 1]) > thr
+                else:
+                    dm1, dp1 = xs[k] - xs[k - 1], xs[k] - xs[k + 1]
+                    c1, c2 = abs(dm1) > thr, abs(dp1) > thr
+                    if c1 and c2 and np.sign(dp1) == np.sign(dm1):
+                        hit = True
+                    elif 2 <= k < len(xs) - 2:
+                        dm2, dp2 = xs[k - 1] - xs[k - 2], xs[k + 1] - xs[k + 2]
+                        c4, c5 = abs(dm2) > thr, abs(dp2) > thr
+                        if c1 and c5 and np.sign(dm1) == np.sign(dp2):
+                            hit = True
+                        elif c2 and c4 and np.sign(dp1) == np.sign(dm2):
+                            hit = True
+                        elif (
+                            abs(dm2) > 1.5 * thr
+                            and abs(dp2) > 1.5 * thr
+                            and not c1
+                            and not c2
+                            and np.sign(dm2) == np.sign(dp2)
+                        ):
+                            hit = True
+                if hit:
+                    xs.pop(k)
+                    break
+            k = k + 1
+        return xs
+
+    def test_reference_parity_randomized(self):
+        """despike() keep-mask must reproduce the reference loop exactly,
+        including endpoint removal, both 2-consecutive combinations, the
+        1.5x 3-cluster rule and the outer-loop early-exit."""
+        rng = np.random.default_rng(123)
+        for trial in range(300):
+            n = int(rng.integers(2, 40))
+            x = np.round(rng.normal(scale=5, size=n).cumsum(), 3)
+            # plant spikes of width 1-3 at random spots
+            for _ in range(int(rng.integers(0, 4))):
+                i = int(rng.integers(0, n))
+                w = int(rng.integers(1, 4))
+                x[i : i + w] += rng.choice([-1, 1]) * rng.uniform(20, 80)
+            thr = float(rng.uniform(5, 30))
+            keep = K.despike(x, thr)
+            got = list(x[keep])
+            want = self._oracle(x, thr)
+            assert got == want, (trial, x.tolist(), thr)
+
+    def test_reference_parity_endpoints(self):
+        # first and last point spikes are removed (reference k==0 / k==len-1)
+        assert not K.despike(np.array([50.0, 1, 2, 3]), 20)[0]
+        assert not K.despike(np.array([1.0, 2, 3, 50]), 20)[-1]
+
 
 class TestImageStd:
     def test_constant_zero(self):

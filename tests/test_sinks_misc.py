@@ -18,7 +18,12 @@ def test_rescale_intensity():
     out = K.rescale_intensity(im, prc_clip=100.0)
     assert out[0, 0] == 0.0 and out[1, 0] == 1.0 and abs(out[0, 1] - 0.5) < 1e-12
     assert np.isnan(out[1, 1])
-    assert np.all(K.rescale_intensity(np.full((3, 3), 7.0)) == 0.0)
+    # lower bound pinned at 0 (reference prc_low=0, SDS_preprocess.py:539):
+    # a constant-7 band stretches to 7/7 = 1, not to 0
+    assert np.all(K.rescale_intensity(np.full((3, 3), 7.0)) == 1.0)
+    assert np.all(K.rescale_intensity(np.full((2, 2), 0.0)) == 0.0)
+    # negatives clamp to 0 like the reference's in_range=(0, hi)
+    assert K.rescale_intensity(np.array([[-5.0, 10.0]]), 100.0)[0, 0] == 0.0
 
 
 def test_hist_match_matches_distribution():
