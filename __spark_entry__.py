@@ -468,6 +468,102 @@ def q_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------- sensor-model / raster oracle queries (EP1/EP2)
+# The band model, tile/pixel assignment and the transect theta-join are
+# bit-identical column arithmetic by design (operators/tiling.py), so the
+# *real operators* run here over documents with derived lat/lon and are
+# checked against an independent DuckDB reimplementation — the flagship's
+# ingest+aggregate math no longer rests solely on the NumPy self-oracle.
+
+# coastal band (lat in [-16,16), lon in [-44,44)) so the theta-join is
+# non-degenerate at sf0.01: points concentrate around the synthetic coast.
+_CLAT_SQL = "(cast((doc_id * 2654435761) % 320000 as double) / 10000.0) - 16.0"
+_CLON_SQL = "(cast((doc_id * 104729) % 880000 as double) / 10000.0) - 44.0"
+
+# grid tuned so the sf0.01 documents table (500 rows) fills scenes densely
+# enough that the scene_quality gates exercise BOTH keep branches (48
+# false / 16 true at sf0.01): 16x16 world tiles of 4x4 px over the
+# coastal band.
+_OR_TILE_RES = 4
+_OR_GRID_LOG2 = 2
+# theta-join widened so medians aggregate >1 point (129 pairs / 75 groups)
+_TI_ALONG = 1.5
+_TI_MAXD = 6.0
+
+
+def _doc_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.expr(_CLAT_SQL).alias("lat"),
+        F.expr(_CLON_SQL).alias("lon"),
+        (F.col("doc_id") % 4).alias("scene_month"),
+    )
+
+
+def _doc_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coastsat_spark.operators import raster, tiling
+
+    geo = _doc_geo(spark, sf_dir)
+    prepared = tiling.with_tiles(
+        tiling.with_bands(geo), tile_res=_OR_TILE_RES, grid_log2=_OR_GRID_LOG2
+    )
+    return raster.aggregate_pixels(prepared)
+
+
+def q_pixel_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S12/A3: per-(tile, scene, pixel) band means + cloud fraction, the
+    # flagship's shuffle-1 aggregate, over deterministic derived geo.
+    px = _doc_pixels(spark, sf_dir)
+    from coastsat_spark.operators.tiling import BANDS
+
+    return px.select(
+        "tile", "scene_month", "px_row", "px_col",
+        *[F.round(b, 4).alias(b) for b in BANDS],
+        "n_docs",
+        F.round("cloud_frac", 4).alias("cloud_frac"),
+    )
+
+
+def q_scene_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F2/F3/F7 + two-class presence gates as one relational aggregate.
+    from coastsat_spark.operators import raster
+
+    px = _doc_pixels(spark, sf_dir)
+    q = raster.scene_quality(px, raster.ShorelineSettings(grid_log2=_OR_GRID_LOG2))
+    return q.select(
+        "tile", "scene_month", "filled_px", "cloud_px", "n_docs",
+        "water_px", "land_px",
+        F.round("filled_frac", 6).alias("filled_frac"),
+        F.round("cloud_frac", 6).alias("cloud_frac"),
+        F.round("combined_bad_frac", 6).alias("combined_bad_frac"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+def q_transect_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1+A1: the real transect_join (d_line/d_origin/bearing predicates)
+    # + exact interpolated median, DuckDB-checked.
+    from coastsat_spark.operators import transects as TR
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    pts = d.select(
+        "doc_id",
+        F.expr(_CLAT_SQL).alias("lat"),
+        F.expr(_CLON_SQL).alias("lon"),
+        (F.col("doc_id") % 2).alias("scene"),
+    )
+    pairs = TR.transect_join(
+        pts, TR.transects_df(spark, 41), along_dist=_TI_ALONG, max_dist_origin=_TI_MAXD
+    )
+    med = TR.median_intersections(pairs, time_col="scene")
+    return med.select(
+        "transect", "scene",
+        F.round("chainage", 6).alias("med_chainage"),
+        "n_points",
+    )
+
+
 # ------------------------------- rows-only queries (no SQL equivalent)
 
 def q_shoreline_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,7 +576,9 @@ def q_shoreline_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster.extract_shorelines(px, quality=q)
 
 
-def q_scene_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_scene_quality_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same gates over the real webpages ingest path (html geotag parse);
+    # the oracle-checked variant is q_scene_quality above.
     from coastsat_spark.operators import raster, tiling
 
     docs = _webpages(spark, sf_dir)
@@ -701,9 +799,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "grouping_sets": q_grouping_sets,
         "union_merge": q_union_merge,
+        "pixel_aggregate": q_pixel_aggregate,
+        "scene_quality": q_scene_quality,
+        "transect_intersections": q_transect_intersections,
         # kernel / rows-only
         "shoreline_points": q_shoreline_points,
-        "scene_quality": q_scene_quality,
+        "scene_quality_web": q_scene_quality_web,
         "transect_timeseries": q_transect_timeseries,
         "qc_timeseries": q_qc_timeseries,
         "despiked": q_despiked,
@@ -727,10 +828,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from coastsat_spark.functions.cells import encode_cell_sql
+    from coastsat_spark.operators.raster import ShorelineSettings
+    from coastsat_spark.operators.tiling import BANDS, bands_sql, tiles_sql
+    from coastsat_spark.operators.transects import make_transects_pdf
 
     pip_sql = _pip_inside_sql(_LAT_SQL, _LON_SQL)
     knn_values = ", ".join(f"({q}, {la}, {lo})" for q, la, lo in _KNN_QUERIES)
+
+    # sensor-model + tiling mirror (same doubles, same operation order)
+    b_sql = bands_sql()
+    t_sql = tiles_sql(_OR_TILE_RES, _OR_GRID_LOG2)
+    obs_ctes = f"""
+      geo AS (
+        SELECT doc_id, {_CLAT_SQL} AS lat, {_CLON_SQL} AS lon,
+               doc_id % 4 AS scene_month
+        FROM documents
+      ), obs AS (
+        SELECT {t_sql["tile"]} AS tile, scene_month,
+               {t_sql["px_row"]} AS px_row, {t_sql["px_col"]} AS px_col,
+               {", ".join(f'{b_sql[b]} AS {b}' for b in BANDS)},
+               CASE WHEN {b_sql["cloud"]} THEN 1.0 ELSE 0.0 END AS cloud
+        FROM geo
+      ), px AS (
+        SELECT tile, scene_month, px_row, px_col,
+               {", ".join(f'avg({b}) AS {b}' for b in BANDS)},
+               count(*) AS n_docs, avg(cloud) AS cloud_frac
+        FROM obs GROUP BY 1, 2, 3, 4
+      )"""
+    pixel_aggregate_sql = f"""
+        WITH {obs_ctes}
+        SELECT tile, scene_month, px_row, px_col,
+               {", ".join(f'round({b}, 4) AS {b}' for b in BANDS)},
+               n_docs, round(cloud_frac, 4) AS cloud_frac
+        FROM px
+    """
+    s = ShorelineSettings(grid_log2=_OR_GRID_LOG2)
+    total_px = (1 << s.grid_log2) ** 2
+    mndwi = "((swir - green) / (swir + green))"
+    clear = f"(cloud_frac <= {s.cloud_mask_frac!r})"
+    scene_quality_sql = f"""
+        WITH {obs_ctes}, st AS (
+          SELECT tile, scene_month,
+                 count(*) AS filled_px,
+                 CAST(sum(CASE WHEN cloud_frac > {s.cloud_mask_frac!r} THEN 1 ELSE 0 END) AS BIGINT) AS cloud_px,
+                 CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN {clear} AND {mndwi} < {s.water_cut!r} THEN 1 ELSE 0 END) AS BIGINT) AS water_px,
+                 CAST(sum(CASE WHEN {clear} AND {mndwi} > {s.land_cut!r} THEN 1 ELSE 0 END) AS BIGINT) AS land_px
+          FROM px GROUP BY 1, 2
+        )
+        SELECT tile, scene_month, filled_px, cloud_px, n_docs, water_px, land_px,
+               round(filled_px / {float(total_px)!r}, 6) AS filled_frac,
+               round(cloud_px / filled_px, 6) AS cloud_frac,
+               round((cloud_px + {total_px} - filled_px) / {float(total_px)!r}, 6) AS combined_bad_frac,
+               CAST(filled_px / {float(total_px)!r} >= {s.min_filled_frac!r}
+                    AND cloud_px / filled_px <= {s.max_cloud_frac!r}
+                    AND (cloud_px + {total_px} - filled_px) / {float(total_px)!r} <= {s.max_cloud_frac_combined!r}
+                    AND water_px >= {s.min_water_px}
+                    AND land_px >= {s.min_land_px} AS INT) AS keep
+        FROM st
+    """
+    tpdf = make_transects_pdf(41)
+    tvals = ", ".join(
+        f"('{r.transect}', {r.x0!r}, {r.y0!r}, {r.x1!r}, {r.y1!r})"
+        for r in tpdf.itertuples()
+    )
+    transect_intersections_sql = f"""
+        WITH tr(transect, x0, y0, x1, y1) AS (VALUES {tvals}),
+        pts AS (
+          SELECT doc_id, {_CLAT_SQL} AS lat, {_CLON_SQL} AS lon,
+                 doc_id % 2 AS scene
+          FROM documents
+        ), g AS (
+          SELECT tr.transect, pts.scene,
+                 abs((x1 - x0) * (lat - y0) - (y1 - y0) * (lon - x0))
+                   / sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) AS d_line,
+                 sqrt((lon - x0) * (lon - x0) + (lat - y0) * (lat - y0)) AS d_origin,
+                 ((lon - x0) * (x1 - x0) + (lat - y0) * (y1 - y0))
+                   / sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) AS chainage,
+                 atan2(y1 - y0, x1 - x0) AS phi,
+                 atan2(lat - y0, lon - x0) AS phi_sl
+          FROM pts CROSS JOIN tr
+        )
+        SELECT transect, scene,
+               round(quantile_cont(chainage, 0.5), 6) AS med_chainage,
+               count(*) AS n_points
+        FROM g
+        WHERE d_line <= {_TI_ALONG!r} AND d_origin <= {_TI_MAXD!r}
+          AND abs(phi - phi_sl) < pi() / 2
+        GROUP BY transect, scene
+    """
     return {
+        "pixel_aggregate": pixel_aggregate_sql,
+        "scene_quality": scene_quality_sql,
+        "transect_intersections": transect_intersections_sql,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -156,6 +156,53 @@ def prepare_documents(
     return with_scene(with_tiles(with_bands(with_geo(docs)), tile_res, grid_log2), granularity)
 
 
+# -------------------------------------------------------------- SQL oracle
+
+def bands_sql() -> dict[str, str]:
+    """ANSI-SQL mirror of with_bands for the DuckDB correctness oracle.
+
+    Expects columns ``lat``, ``lon`` in scope; every constant is embedded
+    via repr() so both engines evaluate the *same* doubles in the *same*
+    operation order (e.g. the coast frequency 2*pi/WAVELEN is one
+    precomputed literal, exactly as F.lit builds it — re-deriving it as
+    2*pi()/90 in SQL would round differently).
+    """
+    lat_i = "cast(round(lat * 1e6) as bigint)"
+    lon_i = "cast(round(lon * 1e6) as bigint)"
+
+    def noise(p: int, q: int) -> str:
+        m = _NOISE_MOD
+        return (
+            f"(((({lat_i} * {p} + {lon_i} * {q}) % {m}) + {m}) % {m}) / {float(m)!r} - 0.5"
+        )
+
+    freq = repr(2.0 * math.pi / COAST_WAVELEN)
+    water = f"(CASE WHEN lat < {COAST_AMP!r} * sin(lon * {freq}) THEN 1.0 ELSE 0.0 END)"
+    cloud = f"((({noise(_CLOUD_P, _CLOUD_Q)}) + 0.5) < {CLOUD_FRAC!r})"
+    out = {"cloud": cloud}
+    for b, (p, q, base, wd, amp) in _BAND_MODEL.items():
+        clear = f"{base!r} + {water} * {wd!r} + ({noise(p, q)}) * {2.0 * amp!r}"
+        out[b] = f"(CASE WHEN {cloud} THEN 250.0 ELSE {clear} END)"
+    return out
+
+
+def tiles_sql(tile_res: int = cells.TILE_RES, grid_log2: int = cells.GRID_LOG2) -> dict[str, str]:
+    """ANSI-SQL mirror of with_tiles (same shared fine-resolution floor)."""
+    n_fine = 1 << (tile_res + grid_log2)
+    xf = f"least(greatest(cast(floor((lon + 180.0) / 360.0 * {n_fine}) as bigint), 0), {n_fine - 1})"
+    yf = f"least(greatest(cast(floor((90.0 - lat) / 180.0 * {n_fine}) as bigint), 0), {n_fine - 1})"
+    g = (1 << grid_log2) - 1
+    step = 1 << grid_log2
+    return {
+        "tile": (
+            f"(cast({tile_res} as bigint) * {1 << cells.R_BITS} "
+            f"+ ({xf} // {step}) * {1 << cells.X_BITS} + ({yf} // {step}))"
+        ),
+        "px_row": f"cast({yf} % {step} as int)",
+        "px_col": f"cast({xf} % {step} as int)",
+    }
+
+
 # ------------------------------------------------------------ numpy oracle
 
 def np_bands(lat: np.ndarray, lon: np.ndarray) -> dict[str, np.ndarray]:
