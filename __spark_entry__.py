@@ -564,6 +564,57 @@ def q_transect_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_same_day_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W2: same-day majority-zone dedup + cap (filter_S2_collection)
+    from coastsat_spark.operators.timeseries import same_day_mode_dedup
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    scenes = ev.select(
+        "event_type", "event_id", "ts", (F.col("user_id") % 5).alias("zone")
+    )
+    out = same_day_mode_dedup(
+        scenes,
+        ts_col="ts",
+        zone_col="zone",
+        cap=2,
+        partition_cols=["event_type"],
+        tiebreakers=[F.asc("event_id")],
+    )
+    return out.select("event_type", "event_id", "zone")
+
+
+def q_rescale_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R14/A10: per-scene percentile clip + [0,1] stretch, relational form
+    from coastsat_spark.operators.raster import rescale_pixels
+
+    px = _doc_pixels(spark, sf_dir)
+    out = rescale_pixels(px, cols=["green", "swir"], prc_clip=99.0)
+    return out.select(
+        "tile", "scene_month", "px_row", "px_col",
+        F.round("green_adj", 6).alias("green_adj"),
+        F.round("swir_adj", 6).alias("swir_adj"),
+    )
+
+
+def q_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A11: per-class MNDWI histogram (SDS_shoreline.py:1000-1005 analog):
+    # classes from the relational water/land cuts, 0.1-wide value bins.
+    px = _doc_pixels(spark, sf_dir)
+    mndwi = (F.col("swir") - F.col("green")) / (F.col("swir") + F.col("green"))
+    label = (
+        F.when(F.col("cloud_frac") > 0.5, "cloud")
+        .when(mndwi < -0.2, "water")
+        .when(mndwi > 0.1, "land")
+        .otherwise("mixed")
+    )
+    return (
+        px.withColumn("label", label)
+        .withColumn("bin", F.floor(mndwi * 10).cast("long"))
+        .groupBy("label", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ------------------------------- rows-only queries (no SQL equivalent)
 
 def q_shoreline_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,6 +643,49 @@ def q_transect_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _webpages(spark, sf_dir)
     return pipeline.run_flagship(spark, docs).timeseries
+
+
+def q_shoreline_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R7 + find_wl_contours2: extraction gated by the buffer around the
+    # previous round's shoreline, thresholding via the class-refined
+    # branch where sand pixels exist (SDS_shoreline.py:195-202, 525-584).
+    from coastsat_spark.operators import raster, tiling
+
+    docs = _webpages(spark, sf_dir)
+    prepared = tiling.prepare_documents(docs)
+    px = raster.aggregate_pixels(prepared).persist()
+    s0 = raster.ShorelineSettings()
+    q = raster.scene_quality(px, s0)
+    base = raster.extract_shorelines(px, s0, quality=q)
+    # rasterize the prior shoreline onto the tile grids (small: one
+    # polyline set per world tile) — the reference_shoreline input
+    ref = (
+        base.select(
+            "tile",
+            F.round("px_y").cast("int").alias("px_row"),
+            F.round("px_x").cast("int").alias("px_col"),
+        )
+        .distinct()
+        .toPandas()
+    )
+    s1 = raster.ShorelineSettings(min_sand_px=2, max_dist_ref=1.5)
+    return raster.extract_shorelines(px, s1, quality=q, reference=ref)
+
+
+def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R4: PCA pansharpening per scene over the pixel table
+    from coastsat_spark.operators import raster, tiling
+
+    docs = _webpages(spark, sf_dir)
+    prepared = tiling.prepare_documents(docs)
+    px = raster.aggregate_pixels(prepared)
+    out = raster.pansharpen_scenes(px)
+    from coastsat_spark.operators.tiling import BANDS
+
+    return out.select(
+        "tile", "scene_month", "px_row", "px_col",
+        *[F.round(b, 4).alias(b) for b in BANDS],
+    )
 
 
 def q_qc_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,8 +896,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_aggregate": q_pixel_aggregate,
         "scene_quality": q_scene_quality,
         "transect_intersections": q_transect_intersections,
+        "same_day_dedup": q_same_day_dedup,
+        "rescale_stretch": q_rescale_stretch,
+        "class_histogram": q_class_histogram,
         # kernel / rows-only
         "shoreline_points": q_shoreline_points,
+        "shoreline_refined": q_shoreline_refined,
+        "pansharpen_scenes": q_pansharpen,
         "scene_quality_web": q_scene_quality_web,
         "transect_timeseries": q_transect_timeseries,
         "qc_timeseries": q_qc_timeseries,
@@ -917,10 +1016,58 @@ def oracle_sql() -> dict[str, str]:
           AND abs(phi - phi_sl) < pi() / 2
         GROUP BY transect, scene
     """
+    same_day_dedup_sql = """
+        WITH sc AS (
+          SELECT event_type, event_id, ts, user_id % 5 AS zone FROM events
+        ), zc AS (
+          SELECT event_type, zone, count(*) AS n FROM sc GROUP BY 1, 2
+        ), md AS (
+          SELECT event_type, zone AS mode_zone, n_z FROM (
+            SELECT event_type, zone,
+                   row_number() OVER (PARTITION BY event_type ORDER BY n DESC, zone) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n_z
+            FROM zc) WHERE rn = 1
+        ), k AS (
+          SELECT sc.*, n_z FROM sc JOIN md USING (event_type)
+          WHERE n_z = 1 OR zone = mode_zone
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                       ORDER BY ts, event_id) AS rn
+          FROM k
+        )
+        SELECT event_type, event_id, zone FROM r WHERE n_z = 1 OR rn <= 2
+    """
+    rescale_stretch_sql = f"""
+        WITH {obs_ctes}, h AS (
+          SELECT tile, scene_month, px_row, px_col, green, swir,
+                 quantile_cont(green, 0.99) OVER (PARTITION BY tile, scene_month) AS hg,
+                 quantile_cont(swir, 0.99) OVER (PARTITION BY tile, scene_month) AS hs
+          FROM px
+        )
+        SELECT tile, scene_month, px_row, px_col,
+               round(CASE WHEN hg <= 0.0 THEN 0.0
+                          ELSE least(greatest(green, 0.0), hg) / hg END, 6) AS green_adj,
+               round(CASE WHEN hs <= 0.0 THEN 0.0
+                          ELSE least(greatest(swir, 0.0), hs) / hs END, 6) AS swir_adj
+        FROM h
+    """
+    class_histogram_sql = f"""
+        WITH {obs_ctes}
+        SELECT CASE WHEN cloud_frac > 0.5 THEN 'cloud'
+                    WHEN (swir - green) / (swir + green) < -0.2 THEN 'water'
+                    WHEN (swir - green) / (swir + green) > 0.1 THEN 'land'
+                    ELSE 'mixed' END AS label,
+               CAST(floor((swir - green) / (swir + green) * 10) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM px GROUP BY 1, 2
+    """
     return {
         "pixel_aggregate": pixel_aggregate_sql,
         "scene_quality": scene_quality_sql,
         "transect_intersections": transect_intersections_sql,
+        "same_day_dedup": same_day_dedup_sql,
+        "rescale_stretch": rescale_stretch_sql,
+        "class_histogram": class_histogram_sql,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

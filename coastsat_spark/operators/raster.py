@@ -51,6 +51,17 @@ class ShorelineSettings:
     land_cut: float = 0.1
     min_water_px: int = 2
     min_land_px: int = 2
+    # class-refined Otsu switch (SDS_shoreline.py:195-202): when set, a
+    # scene with >= min_sand_px classified sand pixels (inside the ref
+    # buffer if one is given) thresholds on the balanced sand+water class
+    # values (find_wl_contours2) instead of the global MNDWI histogram
+    # (find_wl_contours1). None = always the contours1 path.
+    min_sand_px: int | None = None
+    # reference-shoreline buffer gate (create_shoreline_buffer,
+    # SDS_shoreline.py:525-584): restrict thresholding + contouring to
+    # pixels within max_dist_ref (px units) of the reference shoreline.
+    # None = no buffer (reference_shoreline=False behavior).
+    max_dist_ref: float | None = None
 
 
 def aggregate_pixels(docs: DataFrame) -> DataFrame:
@@ -116,11 +127,18 @@ _SHORELINE_SCHEMA = (
 )
 
 
-def scene_extract_pdf(pdf: pd.DataFrame, s: ShorelineSettings) -> pd.DataFrame:
-    """Scene-local kernel: grid assembly -> masks -> MNDWI -> Otsu ->
-    marching squares -> min-length + cloud-proximity filters -> world coords.
+def scene_extract_pdf(
+    pdf: pd.DataFrame,
+    s: ShorelineSettings,
+    ref_px: tuple[np.ndarray, np.ndarray] | None = None,
+) -> pd.DataFrame:
+    """Scene-local kernel: grid assembly -> masks -> (optional) reference
+    buffer -> MNDWI -> global or class-refined Otsu -> marching squares ->
+    min-length + cloud-proximity filters -> world coords.
 
-    Shared verbatim by the pytest NumPy oracle.
+    Shared verbatim by the pytest NumPy oracle. `ref_px` = (rows, cols) of
+    the reference shoreline rasterized onto this tile's grid (R7 buffer
+    gate, only used when s.max_dist_ref is set).
     """
     g = 1 << s.grid_log2
     tile = int(pdf["tile"].iloc[0])
@@ -165,10 +183,34 @@ def scene_extract_pdf(pdf: pd.DataFrame, s: ShorelineSettings) -> pd.DataFrame:
     mndwi = (grid[:, :, 1] - grid[:, :, 0]) / (grid[:, :, 1] + grid[:, :, 0])
     mndwi[cloudm | ~filled] = np.nan
 
+    # R7: reference-shoreline buffer — thresholding and contouring are
+    # restricted to pixels near the prior shoreline, exactly like the
+    # reference masks im_mndwi with im_ref_buffer (SDS_shoreline.py:453,
+    # 497). No reference points for the tile => no gate (buffer off).
+    if s.max_dist_ref is not None and ref_px is not None and len(ref_px[0]):
+        buf = kernels.buffer_mask((g, g), ref_px[0], ref_px[1], s.max_dist_ref)
+        mndwi[~buf] = np.nan
+
     vals = mndwi[np.isfinite(mndwi)]
     if (vals < s.water_cut).sum() < s.min_water_px or (vals > s.land_cut).sum() < s.min_land_px:
         return empty
-    t = kernels.otsu_threshold(vals)
+
+    # SDS_shoreline.py:195-202: >= min_sand_px classified sand pixels in
+    # the (buffered) scene -> class-refined Otsu (find_wl_contours2 path),
+    # else the global-histogram threshold (find_wl_contours1 path).
+    t = np.nan
+    if s.min_sand_px is not None:
+        from . import classify as _classify
+
+        grids = {b: np.full((g, g), np.nan) for b in BANDS}
+        for b in BANDS:
+            grids[b][r[ok], c[ok]] = pdf[b].to_numpy()[ok]
+        labels = _classify.classify_grid(grids, cloudm, _classify.DEFAULT_MODEL)
+        labels[~np.isfinite(mndwi)] = -1  # outside buffer/nodata
+        if (labels == _classify.CLASS_SAND).sum() >= s.min_sand_px:
+            t = _classify.refined_otsu_threshold(mndwi, labels)
+    if not np.isfinite(t):
+        t = kernels.otsu_threshold(vals)
     if not np.isfinite(t):
         return empty
 
@@ -218,20 +260,105 @@ def scene_extract_pdf(pdf: pd.DataFrame, s: ShorelineSettings) -> pd.DataFrame:
     )
 
 
+def rescale_pixels(pixels: DataFrame, cols: list[str] | None = None, prc_clip: float = 99.9) -> DataFrame:
+    """R14/A10 relational form: per-scene percentile clip + stretch to
+    [0,1] with the lower bound pinned at 0 (rescale_image_intensity,
+    SDS_preprocess.py:516-571, prc_low = 0).
+
+    One window percentile + pure arithmetic per band — all JVM-side, no
+    Python; the NumPy mirror (kernels.rescale_intensity) serves grid-level
+    viz paths and the parity test. Appends ``<band>_adj`` columns.
+    """
+    from pyspark.sql import Window as W
+
+    cols = cols if cols is not None else list(BANDS)
+    w = W.partitionBy("tile", "scene_month")
+    out = pixels
+    q = prc_clip / 100.0
+    for c in cols:
+        hi = F.expr(f"percentile({c}, {q!r})").over(w)
+        out = out.withColumn(
+            f"{c}_adj",
+            F.when(hi <= 0.0, F.lit(0.0)).otherwise(
+                F.least(F.greatest(F.col(c), F.lit(0.0)), hi) / hi
+            ),
+        )
+    return out
+
+
+_PANSHARP_SCHEMA = (
+    "tile long, scene_month timestamp, px_row int, px_col int, "
+    + ", ".join(f"{b} double" for b in BANDS)
+)
+
+
+def pansharpen_scenes(pixels: DataFrame, s: ShorelineSettings | None = None) -> DataFrame:
+    """R4: per-scene PCA pansharpening over the pixel-aggregate table
+    (SDS_preprocess.py:466-514): PC1 of the band stack is replaced by the
+    histogram-matched pan band, then inverse-transformed.
+
+    The engine's sensor model carries no separate panchromatic band, so
+    pan = mean of the visible bands (the same spectral role; documented
+    stand-in). Cloudy pixels are excluded from the PCA exactly like the
+    reference's cloud_mask argument.
+    """
+    s = s or ShorelineSettings()
+    g = 1 << s.grid_log2
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = int(pdf["tile"].iloc[0])
+        month = pdf["scene_month"].iloc[0]
+        ms = np.full((g, g, len(BANDS)), np.nan)
+        r = pdf["px_row"].to_numpy(int)
+        c = pdf["px_col"].to_numpy(int)
+        ok = pdf["n_docs"].to_numpy() >= s.min_docs_per_px
+        for i, b in enumerate(BANDS):
+            ms[r[ok], c[ok], i] = pdf[b].to_numpy()[ok]
+        cloudm = np.zeros((g, g), dtype=bool)
+        cl = ok & (pdf["cloud_frac"].to_numpy() > s.cloud_mask_frac)
+        cloudm[r[cl], c[cl]] = True
+        pan = np.nanmean(ms[:, :, :3], axis=2)  # blue/green/red mean
+        sharp = kernels.pansharpen(ms, pan, mask=cloudm)
+        rr, cc = np.nonzero(np.isfinite(sharp).all(axis=2))
+        out = {"tile": tile, "scene_month": month,
+               "px_row": rr.astype(np.int32), "px_col": cc.astype(np.int32)}
+        for i, b in enumerate(BANDS):
+            out[b] = sharp[rr, cc, i]
+        return pd.DataFrame(out)
+
+    return pixels.groupBy("tile", "scene_month").applyInPandas(fn, schema=_PANSHARP_SCHEMA)
+
+
 def extract_shorelines(
-    pixels: DataFrame, s: ShorelineSettings | None = None, quality: DataFrame | None = None
+    pixels: DataFrame,
+    s: ShorelineSettings | None = None,
+    quality: DataFrame | None = None,
+    reference: pd.DataFrame | None = None,
 ) -> DataFrame:
     """Shuffle 2: scene-grouped contour extraction (<=G*G rows in per group).
 
     `quality` (from scene_quality) pre-filters scenes relationally; pass
-    None to gate inside the kernel only.
+    None to gate inside the kernel only. `reference` is a small pandas
+    frame (tile, px_row, px_col) of the prior/reference shoreline
+    rasterized per tile — a bounded dimension (one polyline per world
+    tile, like the reference's single reference_shoreline input,
+    SDS_shoreline.py:525), captured in the UDF closure so Spark ships it
+    once per task like a broadcast variable.
     """
     s = s or ShorelineSettings()
     if quality is not None:
         keep = quality.filter(F.col("keep")).select("tile", "scene_month")
         pixels = pixels.join(keep, ["tile", "scene_month"], "left_semi")
 
+    ref_map = None
+    if reference is not None and s.max_dist_ref is not None:
+        ref_map = {
+            int(t): (grp["px_row"].to_numpy(int), grp["px_col"].to_numpy(int))
+            for t, grp in reference.groupby("tile")
+        }
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return scene_extract_pdf(pdf, s)
+        rp = ref_map.get(int(pdf["tile"].iloc[0])) if ref_map is not None else None
+        return scene_extract_pdf(pdf, s, rp)
 
     return pixels.groupBy("tile", "scene_month").applyInPandas(fn, schema=_SHORELINE_SCHEMA)

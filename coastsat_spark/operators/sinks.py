@@ -109,3 +109,29 @@ def timeseries_wide(ts: DataFrame, time_col: str = "scene_month") -> DataFrame:
 def write_timeseries_csv(ts: DataFrame, path: str, time_col: str = "scene_month") -> None:
     wide = timeseries_wide(ts, time_col)
     wide.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+# ------------------------------------------------ S11 mask-in-place rewrite
+
+def mask_columns(df: DataFrame, predicate, cols: list[str], fill=None) -> DataFrame:
+    """S11: the reference's mask_raster (SDS_tools.py:243-271) overwrites
+    pixel values under a mask inside the file. The engine's analog is an
+    immutable column update: rows matching `predicate` get every column
+    in `cols` replaced by `fill` (default null = nodata)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.when(predicate, F.lit(fill)).otherwise(F.col(c)))
+    return out
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """The in-place half of S11 at table scope: dynamic partition
+    overwrite rewrites ONLY the partitions present in `df`, leaving every
+    other partition's files untouched — the Spark-native equivalent of
+    rewriting one raster file in place (no full-table rewrite at 100 TB)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

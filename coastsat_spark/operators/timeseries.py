@@ -389,3 +389,51 @@ def dedup_close_timestamps(
         .filter(F.col("_rn") == 1)
         .drop("_new_session", "_session", "_rn")
     )
+
+
+# ----------------------------------------------- W2 same-day zone dedup
+
+def same_day_mode_dedup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    zone_col: str = "zone",
+    cap: int = 2,
+    partition_cols: list[str] | None = None,
+    tiebreakers: list[Column] | None = None,
+) -> DataFrame:
+    """W2: same-day cross-UTM-zone dedup (filter_S2_collection,
+    SDS_download.py:970-1024), relational form.
+
+    Reference behavior: a site whose scenes all share one zone passes
+    through unchanged (no cap); otherwise only scenes in the site's
+    most-common zone survive (count ties -> smallest zone, matching
+    np.argmax over np.unique's sorted order) and each day keeps at most
+    `cap` scenes (earliest first). Documented deviation: the reference
+    windows are pivot-anchored +-24 h; calendar-day buckets are the
+    relational equivalent (identical when acquisitions cluster well
+    inside a day — the Sentinel-2 case the rule was written for).
+
+    Scale: the zone-mode table is one tiny aggregate broadcast back; the
+    cap is a per-(site, day) window. With partition_cols=None the mode is
+    global — fine for one site, use partition_cols for a catalog of sites.
+    """
+    pc = partition_cols or []
+    zc = df.groupBy(*pc, zone_col).agg(F.count(F.lit(1)).alias("_n"))
+    wz = W.partitionBy(*[F.col(c) for c in pc]) if pc else W.partitionBy(F.lit(1))
+    md = (
+        zc.withColumn("_rn", F.row_number().over(wz.orderBy(F.desc("_n"), F.asc(zone_col))))
+        .withColumn("_nz", F.count(F.lit(1)).over(wz))
+        .filter(F.col("_rn") == 1)
+        .select(*pc, F.col(zone_col).alias("_mode"), "_nz")
+    )
+    j = df.join(F.broadcast(md), pc) if pc else df.crossJoin(F.broadcast(md))
+    keep_zone = (F.col("_nz") == 1) | (F.col(zone_col) == F.col("_mode"))
+    wd = W.partitionBy(*pc, F.to_date(F.col(ts_col))).orderBy(
+        F.col(ts_col).asc(), *(tiebreakers or [])
+    )
+    out = (
+        j.filter(keep_zone)
+        .withColumn("_rn", F.row_number().over(wd))
+        .filter((F.col("_nz") == 1) | (F.col("_rn") <= cap))
+    )
+    return out.drop("_mode", "_nz", "_rn")

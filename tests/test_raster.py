@@ -106,3 +106,113 @@ def test_pixel_aggregate_counts(spark):
     px = raster.aggregate_pixels(prepared)
     total = px.agg({"n_docs": "sum"}).collect()[0][0]
     assert total == 6_000
+
+
+def _scene_pdf(g: int = 8, sand_rows: int = 3, seed: int = 5) -> pd.DataFrame:
+    """Synthetic full-band scene: water in the bottom rows, sand band in
+    the middle, 'other' (bright) on top — deterministic."""
+    rng = np.random.default_rng(seed)
+    rows, cols = np.mgrid[0:g, 0:g]
+    rows, cols = rows.ravel(), cols.ravel()
+    kind = np.where(rows >= g - 3, "water", np.where(rows >= g - 3 - sand_rows, "sand", "other"))
+    base = {
+        # engine sensor-model convention: water darkens swir/nir
+        "water": dict(blue=90.0, green=150.0, red=110.0, nir=60.0, swir=40.0),
+        "sand": dict(blue=120.0, green=100.0, red=130.0, nir=140.0, swir=180.0),
+        # bright whitewater-like signature with mndwi ~ -0.2: pulls the
+        # GLOBAL histogram toward the gap the refined threshold ignores,
+        # so the two branches give measurably different thresholds
+        "other": dict(blue=250.0, green=150.0, red=250.0, nir=250.0, swir=100.0),
+    }
+    data = {
+        "tile": np.full(g * g, 100, dtype=np.int64),
+        "scene_month": np.repeat(pd.Timestamp("2024-01-01"), g * g),
+        "px_row": rows,
+        "px_col": cols,
+        "n_docs": np.ones(g * g, dtype=np.int64),
+        "cloud_frac": np.zeros(g * g),
+    }
+    for b in tiling.BANDS:
+        data[b] = np.array([base[k][b] for k in kind]) + rng.normal(0, 2.0, g * g)
+    return pd.DataFrame(data)
+
+
+def test_refined_otsu_branch_taken_with_sand():
+    """min_sand_px set + enough classified sand -> find_wl_contours2 path
+    (class-refined threshold differs from the global-histogram one)."""
+    pdf = _scene_pdf()
+    s_global = raster.ShorelineSettings(min_water_px=1, min_land_px=1)
+    s_refined = raster.ShorelineSettings(min_water_px=1, min_land_px=1, min_sand_px=2)
+    out_g = raster.scene_extract_pdf(pdf, s_global)
+    out_r = raster.scene_extract_pdf(pdf, s_refined)
+    assert len(out_g) and len(out_r)
+    t_g, t_r = out_g["t_mndwi"].iloc[0], out_r["t_mndwi"].iloc[0]
+    # refined threshold balances sand vs water classes -> different value
+    # ('other' bright px no longer pull the histogram)
+    assert t_g != t_r
+    # both thresholds separate the same interface: between water mndwi
+    # (~ -0.58) and land/sand mndwi (~ +0.29)
+    assert -0.58 < t_r < 0.29 and -0.58 < t_g < 0.29
+
+
+def test_refined_otsu_falls_back_without_sand():
+    """A scene with no sand class falls back to the contours1 path: same
+    threshold with and without the refinement switch."""
+    pdf = _scene_pdf(sand_rows=0)
+    s_global = raster.ShorelineSettings(min_water_px=1, min_land_px=1)
+    s_refined = raster.ShorelineSettings(min_water_px=1, min_land_px=1, min_sand_px=2)
+    out_g = raster.scene_extract_pdf(pdf, s_global)
+    out_r = raster.scene_extract_pdf(pdf, s_refined)
+    assert len(out_g) == len(out_r)
+    if len(out_g):
+        assert out_g["t_mndwi"].iloc[0] == out_r["t_mndwi"].iloc[0]
+
+
+def test_reference_buffer_gates_extraction():
+    """R7: with max_dist_ref set, every extracted point lies within the
+    buffer radius of a reference-shoreline pixel; points elsewhere are
+    dropped (create_shoreline_buffer semantics, SDS_shoreline.py:552-584)."""
+    pdf = _scene_pdf()
+    s_buf = raster.ShorelineSettings(min_water_px=1, min_land_px=1, max_dist_ref=1.0)
+    # reference shoreline along the true water/sand interface row
+    ref_rows = np.full(8, 5)
+    ref_cols = np.arange(8)
+    out_b = raster.scene_extract_pdf(pdf, s_buf, (ref_rows, ref_cols))
+    out_nb = raster.scene_extract_pdf(
+        pdf, raster.ShorelineSettings(min_water_px=1, min_land_px=1)
+    )
+    assert len(out_b) > 0
+    # every buffered point is within radius+0.5 px of the reference row
+    assert (np.abs(out_b["px_y"].to_numpy() - 5) <= 1.5).all()
+    # a far-away reference buffer suppresses extraction entirely
+    out_far = raster.scene_extract_pdf(
+        pdf, s_buf, (np.zeros(8, dtype=int), np.arange(8))
+    )
+    assert len(out_far) == 0
+    # and the unbuffered output is a superset in point count
+    assert len(out_nb) >= len(out_b)
+
+
+def test_buffered_extraction_through_spark(spark):
+    """extract_shorelines(reference=...) ships the per-tile buffer to the
+    kernel: tiles with no reference entry are ungated."""
+    pdf = _scene_pdf()
+    sdf = spark.createDataFrame(pdf)
+    ref = pd.DataFrame({"tile": [100] * 8, "px_row": [5] * 8, "px_col": list(range(8))})
+    s_buf = raster.ShorelineSettings(min_water_px=1, min_land_px=1, max_dist_ref=1.0)
+    out = raster.extract_shorelines(sdf, s_buf, reference=ref).toPandas()
+    assert len(out) > 0
+    assert (np.abs(out["px_y"].to_numpy() - 5) <= 1.5).all()
+
+
+def test_rescale_pixels_matches_kernel(spark):
+    """R14: the relational per-scene stretch equals kernels.rescale_intensity
+    applied to each scene's band values."""
+    pdf = _scene_pdf()
+    out = raster.rescale_pixels(
+        spark.createDataFrame(pdf), cols=["green"], prc_clip=99.0
+    ).toPandas()
+    exp = kernels.rescale_intensity(pdf["green"].to_numpy(), prc_clip=99.0)
+    got = out.sort_values(["px_row", "px_col"])["green_adj"].to_numpy()
+    want = pdf.assign(adj=exp).sort_values(["px_row", "px_col"])["adj"].to_numpy()
+    assert np.allclose(got, want, atol=1e-9)

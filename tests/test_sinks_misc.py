@@ -131,3 +131,38 @@ def test_timeseries_wide_pivot(spark):
     wide = sinks.timeseries_wide(spark.createDataFrame(pdf)).toPandas()
     assert list(wide.columns) == ["scene_month", "A", "B"]
     assert wide["A"].tolist() == [1.0, 3.0]
+
+
+def test_mask_rewrite_in_place(spark, tmp_path):
+    """S11: mask_columns + dynamic partition overwrite rewrites only the
+    targeted partition; other partitions' files stay byte-identical."""
+    import os
+
+    path = str(tmp_path / "tiles")
+    df = spark.range(300).select(
+        (F.col("id") % 3).alias("tile"),
+        F.col("id").alias("px"),
+        (F.col("id") * 1.5).alias("swir"),
+        (F.col("id") * 2.0).alias("green"),
+    )
+    df.write.partitionBy("tile").parquet(path)
+
+    def file_set(t):
+        d = f"{path}/tile={t}"
+        return {(f, os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before = {t: file_set(t) for t in range(3)}
+    tile1 = spark.read.parquet(path).filter("tile = 1")
+    masked = sinks.mask_columns(tile1, F.col("px") % 2 == 0, ["swir", "green"], fill=None)
+    sinks.overwrite_partitions(masked, path, ["tile"])
+
+    back = spark.read.parquet(path)
+    # tile 1: even px masked to null, odd kept
+    t1 = back.filter("tile = 1").toPandas()
+    assert t1.loc[t1["px"] % 2 == 0, "swir"].isna().all()
+    assert t1.loc[t1["px"] % 2 == 1, "swir"].notna().all()
+    # tiles 0 and 2 untouched on disk (same files, same mtimes)
+    assert file_set(0) == before[0] and file_set(2) == before[2]
+    assert file_set(1) != before[1]
+    assert back.count() == 300

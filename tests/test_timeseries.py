@@ -181,3 +181,32 @@ def test_tidal_correction_formula(spark):
     pdf = pd.DataFrame({"chainage": [10.0], "tide": [0.5]})
     out = TS.tidal_correction(spark.createDataFrame(pdf), beach_slope=0.1).collect()[0]
     assert abs(out["chainage_corrected"] - 15.0) < 1e-12
+
+
+def test_same_day_mode_dedup(spark):
+    """W2 (filter_S2_collection): majority zone kept, same-day cap of 2,
+    single-zone sites pass through uncapped."""
+    rows = []
+    # site A: zones 32 (majority, 5 rows) and 33 (2 rows); day 1 has three
+    # zone-32 scenes -> capped to 2; zone-33 scenes dropped entirely
+    for h, z in [(1, 32), (2, 32), (3, 32), (4, 33), (30, 33), (26, 32), (50, 32)]:
+        rows.append(("A", len(rows), pd.Timestamp("2024-03-01") + pd.Timedelta(hours=h), z))
+    # site B: single zone, 3 same-day scenes -> all kept (no cap)
+    for h in (1, 2, 3):
+        rows.append(("B", len(rows), pd.Timestamp("2024-03-01") + pd.Timedelta(hours=h), 17))
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["site", "scene_id", "ts", "zone"])
+    )
+    out = TS.same_day_mode_dedup(
+        sdf, ts_col="ts", zone_col="zone", cap=2,
+        partition_cols=["site"], tiebreakers=[F.asc("scene_id")],
+    ).toPandas()
+    kept = set(out["scene_id"])
+    # site A day 1 (hours 1,2,3 zone 32) capped to first two; zone 33 gone
+    assert {0, 1} <= kept and 2 not in kept
+    assert 3 not in kept and 4 not in kept
+    # day-2 zone-32 scenes kept (hours 26, 50 are days 2 and 3)
+    assert {5, 6} <= kept
+    # site B: all three kept despite same day (single zone -> passthrough)
+    assert {7, 8, 9} <= kept
+    assert len(kept) == 7
