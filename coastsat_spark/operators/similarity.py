@@ -37,23 +37,36 @@ def cosine_topk_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_salts: int = 32,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries x corpus, JVM-side dot
-    products, per-query window rank. Self-matches excluded.
+    products, TWO-PHASE top-k.
 
     Scale shape: queries are the small side (broadcast); the corpus scan
-    is embarrassingly parallel with no shuffle until the final top-k
-    (partial top-k via AQE-combined window would be the next step at
-    extreme k x |queries|).
+    is embarrassingly parallel. A single window over q_id would shuffle
+    the whole |corpus| x |queries| product into <= |queries| partitions —
+    a parallelism bottleneck at 100x scale. Instead phase 1 ranks within
+    (q_id, salt) where salt = hash(c_id) % n_salts (|queries| * n_salts
+    shuffle partitions, each emitting <= k rows), and phase 2 ranks the
+    surviving |queries| * n_salts * k rows — negligible. Both phases are
+    exact: every global top-k row wins its salt bucket, and ties break on
+    (cosine desc, c_id asc) identically in both phases.
     """
     q = with_norm(queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")), "q_emb").withColumnRenamed("norm", "q_norm")
     c = with_norm(corpus.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb")), "c_emb").withColumnRenamed("norm", "c_norm")
     j = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
     sim = (_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine")
     scored = j.select("q_id", "c_id", sim)
-    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    order = [F.desc("cosine"), F.asc("c_id")]
+    w1 = W.partitionBy("q_id", "_salt").orderBy(*order)
+    local = (
+        scored.withColumn("_salt", F.pmod(F.xxhash64("c_id"), F.lit(n_salts)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+    )
+    w2 = W.partitionBy("q_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
     )
@@ -110,12 +123,15 @@ def cosine_topk_lsh(
     n_tables: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = union over `n_tables` LSH
     tables of same-bucket pairs, exact rerank on the candidate set.
     Recall tunes with (n_bits down, n_tables up); cost with bucket sizes.
+    Pass `dim` to keep the plan fully lazy (else one .first() infers it).
     """
-    dim = len(corpus.select(emb_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(emb_col).first()[0])
     qb = lsh_bucket_ids(
         queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")),
         n_bits, n_tables, "q_emb", dim,
@@ -146,6 +162,47 @@ def cosine_topk_lsh(
 
 # -------------------------------------------------------- IVF-style probe
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    sample_cap: int = 4096,
+    n_iters: int = 5,
+) -> np.ndarray:
+    """Spherical k-means centroids from a deterministic corpus sample.
+
+    Sample = the `sample_cap` vectors with the smallest xxhash64(id) — a
+    uniform deterministic draw regardless of data layout (NOT limit(),
+    which takes whatever partition answers first, and NOT orderBy(id),
+    which biases toward the id<->vector layout). Lloyd iterations run
+    driver-side on the sample (tiny: cap x dim doubles); the expensive
+    assignment of the full corpus stays distributed in ivf_topk.
+    Empty clusters keep their previous centroid. Returns (n_centroids,
+    dim) unit-norm float64.
+    """
+    sample = (
+        corpus.select(F.col(emb_col).alias("e"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r["e"] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    n_centroids = min(n_centroids, len(X))
+    C = X[:n_centroids].copy()  # hash order = uniform draw -> fair seeds
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[j] = v / nv
+    return C
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -154,16 +211,18 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    sample_cap: int = 4096,
+    n_iters: int = 5,
 ) -> DataFrame:
-    """IVF-style ANN: centroids = deterministic sample of corpus vectors
-    (lowest ids — a real deployment would k-means; the partition/probe
-    plumbing is identical), corpus assigned to nearest centroid, queries
-    probe the n_probe nearest centroid lists, exact rerank within.
+    """IVF ANN: spherical-k-means centroids (trained on a deterministic
+    sample), corpus assigned to nearest centroid, queries probe the
+    n_probe nearest centroid lists, exact rerank within.
     """
-    cent = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(emb_col).alias("cent_emb"))
+    spark = corpus.sparkSession
+    C = kmeans_centroids(corpus, n_centroids, id_col, emb_col, sample_cap, n_iters)
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(len(C))],
+        "cent_id int, cent_emb array<double>",
     )
     c = corpus.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"))
     q = queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))

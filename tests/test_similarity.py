@@ -82,3 +82,28 @@ def test_lsh_buckets_deterministic(spark, clustered):
     k1 = set(map(tuple, b1[["vec_id", "table", "bucket"]].to_numpy()))
     k2 = set(map(tuple, b2[["vec_id", "table", "bucket"]].to_numpy()))
     assert k1 == k2
+
+
+def test_ivf_kmeans_recall_tight(spark, clustered):
+    """k-means centroids recover the planted clusters: with n_centroids =
+    #clusters and a single probe, recall stays high (layout-independent,
+    unlike the old lowest-id 'centroids')."""
+    vecs, sdf = clustered
+    q = sdf.filter("vec_id < 10")
+    brute = similarity.cosine_topk_bruteforce(q, sdf, k=5).toPandas()
+    approx = similarity.ivf_topk(q, sdf, n_centroids=10, n_probe=1, k=5).toPandas()
+    b = set(map(tuple, brute[["q_id", "c_id"]].to_numpy()))
+    a = set(map(tuple, approx[["q_id", "c_id"]].to_numpy()))
+    recall = len(a & b) / len(b)
+    assert recall >= 0.95, recall
+
+
+def test_bruteforce_two_phase_plan(spark, clustered):
+    """The product is never windowed into <=|queries| partitions: phase-1
+    window partitions by (q_id, salt)."""
+    _, sdf = clustered
+    q = sdf.filter("vec_id < 10")
+    plan = similarity.cosine_topk_bruteforce(q, sdf, k=5)._jdf.queryExecution().executedPlan().toString()
+    import re
+    wins = re.findall(r"Window \[row_number\(\).*?\]", plan)
+    assert any("_salt" in w for w in wins), plan[:2000]
