@@ -240,10 +240,12 @@ def q_monthly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 5-day trailing cutoff (the operator default is the reference's 30
     # days, SDS_transects.py:660-661; events span one month so the query
-    # uses a band that keeps the check non-degenerate)
-    cutoff = labeled.agg(F.date_sub(F.max(F.col("ts").cast("date")), 5)).collect()[0][0]
+    # uses a band that keeps the check non-degenerate). The cutoff scalar
+    # stays in the plan (broadcast 1-row cross join) — no driver action.
+    cutoff = labeled.agg(F.date_sub(F.max(F.col("ts").cast("date")), 5).alias("_cut"))
     return (
-        labeled.filter(F.col("month_label") <= F.lit(cutoff))
+        labeled.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("month_label") <= F.col("_cut"))
         .groupBy("event_type", "month_label")
         .agg(F.round(F.avg("value"), 4).alias("mean_value"), F.count(F.lit(1)).alias("n"))
     )
@@ -615,6 +617,30 @@ def q_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 JSON family: serialize a struct per row, parse it back with
+    # get_json_object / from_json, aggregate the extracted fields. The
+    # oracle is the plain relational equivalent, so any defect in the
+    # round-trip (quoting, typing, path eval) breaks the value hash.
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    j = d.select(
+        "doc_id",
+        F.to_json(
+            F.struct(F.col("lang"), F.col("doc_id").alias("id"), F.length("text").alias("n"))
+        ).alias("js"),
+    )
+    parsed = j.select(
+        F.get_json_object("js", "$.lang").alias("lang"),
+        F.from_json(
+            F.col("js"), "lang string, id long, n long"
+        )["n"].alias("n_chars"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 # ------------------------------- rows-only queries (no SQL equivalent)
 
 def q_shoreline_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "same_day_dedup": q_same_day_dedup,
         "rescale_stretch": q_rescale_stretch,
         "class_histogram": q_class_histogram,
+        "json_extract": q_json_extract,
         # kernel / rows-only
         "shoreline_points": q_shoreline_points,
         "shoreline_refined": q_shoreline_refined,
@@ -1068,6 +1095,11 @@ def oracle_sql() -> dict[str, str]:
         "same_day_dedup": same_day_dedup_sql,
         "rescale_stretch": rescale_stretch_sql,
         "class_histogram": class_histogram_sql,
+        "json_extract": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -135,3 +135,57 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+# ------------------------------------------------- S8 polygon readers
+
+def polygon_from_geojson(path: str) -> list[list[list[float]]]:
+    """S8: read the first feature's exterior ring from a GeoJSON file
+    (polygon_from_geojson, SDS_tools.py:684-707) — stdlib json, no
+    geopandas. Accepts FeatureCollection / Feature / bare geometry;
+    Polygon and MultiPolygon (first polygon)."""
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("type") == "FeatureCollection":
+        geom = doc["features"][0]["geometry"]
+    elif doc.get("type") == "Feature":
+        geom = doc["geometry"]
+    else:
+        geom = doc
+    if geom["type"] == "Polygon":
+        ring = geom["coordinates"][0]
+    elif geom["type"] == "MultiPolygon":
+        ring = geom["coordinates"][0][0]
+    else:
+        raise ValueError(f"unsupported geometry type {geom['type']!r}")
+    return [[[float(x), float(y)] for x, y, *_ in ring]]
+
+
+def polygon_from_kml(path: str) -> list[list[list[float]]]:
+    """S8: extract the first <coordinates> block from a KML file
+    (polygon_from_kml, SDS_tools.py:709-739). Same parsing contract as
+    the reference: newline-separated "lon,lat[,alt]" tuples between the
+    first coordinate tags; whitespace-separated tuples also accepted."""
+    with open(path) as f:
+        doc = f.read()
+    a = doc.find("<coordinates>")
+    b = doc.find("</coordinates>")
+    if a < 0 or b < 0:
+        raise ValueError("no <coordinates> element found")
+    sub = doc[a + len("<coordinates>") : b]
+    polygon = []
+    for tok in sub.split():
+        parts = tok.split(",")
+        if len(parts) >= 2:
+            polygon.append([float(parts[0]), float(parts[1])])
+    return [polygon]
+
+
+def polygons_df(spark, paths: list[str]) -> "DataFrame":
+    """Polygon table from reader outputs: (polygon_id, ring array<array<double>>)
+    — the broadcastable dimension the PIP/containment joins consume."""
+    rows = []
+    for i, p in enumerate(paths):
+        ring = (polygon_from_kml(p) if p.lower().endswith(".kml") else polygon_from_geojson(p))[0]
+        rows.append((i, os.path.basename(p), [[float(x), float(y)] for x, y in ring]))
+    return spark.createDataFrame(rows, "polygon_id int, source string, ring array<array<double>>")

@@ -166,3 +166,26 @@ def test_mask_rewrite_in_place(spark, tmp_path):
     assert file_set(0) == before[0] and file_set(2) == before[2]
     assert file_set(1) != before[1]
     assert back.count() == 300
+
+
+def test_polygon_readers(spark, tmp_path):
+    """S8: GeoJSON + KML polygon readers match the reference's contract."""
+    ring = [[151.0, -33.0], [151.1, -33.0], [151.1, -33.1], [151.0, -33.1], [151.0, -33.0]]
+    gj = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {},
+         "geometry": {"type": "Polygon", "coordinates": [ring]}}]}
+    gj_path = str(tmp_path / "roi.geojson")
+    json.dump(gj, open(gj_path, "w"))
+    assert sinks.polygon_from_geojson(gj_path) == [ring]
+
+    kml_path = str(tmp_path / "roi.kml")
+    coords = "\n".join(f"{x},{y},0" for x, y in ring)
+    open(kml_path, "w").write(
+        "<kml><Placemark><Polygon><outerBoundaryIs><LinearRing>"
+        f"<coordinates>\n{coords}\n</coordinates>"
+        "</LinearRing></outerBoundaryIs></Polygon></Placemark></kml>"
+    )
+    assert sinks.polygon_from_kml(kml_path) == [ring]
+
+    df = sinks.polygons_df(spark, [gj_path, kml_path]).toPandas()
+    assert len(df) == 2 and all(len(r) == 5 for r in df["ring"])
