@@ -617,6 +617,17 @@ def q_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup pairs (training-data op family): exact
+    # all-pairs baseline, DuckDB-checked; embedding_dup_pairs_lsh is the
+    # bucketed scale path (recall test in tests/test_similarity.py)
+    from coastsat_spark.operators.similarity import embedding_dup_pairs
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    out = embedding_dup_pairs(emb, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.8 JSON family: serialize a struct per row, parse it back with
     # get_json_object / from_json, aggregate the extracted fields. The
@@ -926,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescale_stretch": q_rescale_stretch,
         "class_histogram": q_class_histogram,
         "json_extract": q_json_extract,
+        "embedding_dedup": q_embedding_dedup,
         # kernel / rows-only
         "shoreline_points": q_shoreline_points,
         "shoreline_refined": q_shoreline_refined,
@@ -1095,6 +1107,23 @@ def oracle_sql() -> dict[str, str]:
         "same_day_dedup": same_day_dedup_sql,
         "rescale_stretch": rescale_stretch_sql,
         "class_histogram": class_histogram_sql,
+        "embedding_dedup": """
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt((SELECT sum(e * e)
+                           FROM (SELECT unnest(embedding) AS e) z)) AS nrm
+              FROM embeddings
+            ), p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     (SELECT sum(ea * eb)
+                      FROM (SELECT unnest(a.embedding) AS ea,
+                                   unnest(b.embedding) AS eb) z)
+                       / (a.nrm * b.nrm) AS cosine
+              FROM n a JOIN n b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cosine, 5) AS cosine
+            FROM p WHERE cosine >= 0.3
+        """,
         "json_extract": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars

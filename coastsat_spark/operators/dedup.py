@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql import Window
 
 from ..hashing import splitmix64
 
@@ -267,75 +268,182 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_band_keys(
+    docs: DataFrame,
+    k: int = 128,
+    bands: int = 32,
+    shingle_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bkeys array<long>): LSH band keys computed INSIDE the
+    MinHash UDF (numpy splitmix64 fold over each band's slots) — the
+    assignment path never materializes the k-slot signatures, cutting the
+    Arrow return k/bands-fold and skipping the JVM banding pass."""
+    r = k // bands
+    salts = splitmix64(np.arange(bands, dtype=np.uint64) + np.uint64(0xB00B5))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bk(th: pd.Series) -> pd.Series:
+        sig = np_minhash_hashes(th.to_numpy(), k, shingle_words)  # (n, k) uint64
+        keys = np.empty((len(sig), bands), dtype=np.uint64)
+        for b in range(bands):
+            acc = np.full(len(sig), salts[b], dtype=np.uint64)
+            for i in range(r):
+                acc = splitmix64(acc ^ sig[:, b * r + i])
+            keys[:, b] = acc
+        keys = keys.astype(np.int64)
+        return pd.Series(list(keys))
+
+    return (
+        docs.select(F.col(id_col), token_hashes_col(text_col).alias("_th"))
+        .filter(F.size("_th") > 0)
+        .select(F.col(id_col), bk(F.col("_th")).alias("bkeys"))
+    )
+
+
+def _star_edges(raw: DataFrame, id_col: str) -> DataFrame:
+    """(a, b) star edges per LSH bucket: every member points at its
+    bucket's min id; singleton buckets vanish (a == b filtered).
+
+    ONE exchange (repartition by bkey) + a vectorized per-partition pass:
+    sortWithinPartitions puts each bucket contiguous, numpy reduceat takes
+    the per-bucket min, members broadcast against it. This replaces a
+    9.4M-group hash aggregate + a second 9.6M-row join exchange — the
+    aggregate's map-side combine is useless when nearly every bucket is
+    a singleton. Memory per task = one shuffle partition (bounded by the
+    partition count, the standard dial at scale).
+    """
+    import numpy as np
+
+    def gen(batches):
+        ks, ids = [], []
+        for pdf in batches:
+            ks.append(pdf["bkey"].to_numpy())
+            ids.append(pdf[id_col].to_numpy())
+        if not ks:
+            return
+        k_ = np.concatenate(ks)
+        i_ = np.concatenate(ids)
+        order = np.argsort(k_, kind="stable")
+        k_, i_ = k_[order], i_[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(k_)) + 1))
+        mins = np.minimum.reduceat(i_, starts)
+        b = np.repeat(mins, np.diff(np.concatenate((starts, [len(k_)]))))
+        m = i_ != b
+        yield pd.DataFrame({"a": i_[m], "b": b[m]})
+
+    return (
+        raw.repartition("bkey")
+        .sortWithinPartitions("bkey")
+        .mapInPandas(gen, schema="a long, b long")
+        .distinct()
+    )
+
+
+def _driver_connected_components(edges_pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Min-label propagation with pointer jumping on a collected edge
+    list (numpy, converges in O(log diameter) vector passes)."""
+    import numpy as np
+
+    a = edges_pdf["a"].to_numpy()
+    b = edges_pdf["b"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = lab.copy()
+        np.minimum.at(lab, ai, lab[bi])
+        np.minimum.at(lab, bi, lab[ai])
+        lab = lab[lab]
+        lab = lab[lab]
+        if np.array_equal(lab, prev):
+            break
+    return pd.DataFrame({"__node": nodes, "__root": nodes[lab]})
+
+
 def minhash_dedup_assign(
     docs: DataFrame,
     k: int = 128,
     bands: int = 32,
-    max_iters: int = 5,
+    max_iters: int = 30,
     text_col: str = "text",
     id_col: str = "doc_id",
+    driver_cc_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """Scale path for MinHash dedup: canonical-id ASSIGNMENT instead of
     pair enumeration.
 
     Near-dup clusters make the pair set quadratic in cluster size (a
     600-doc template cluster is ~180k pairs); the assignment output is
-    linear. Connected components over the bucket graph are computed by
-    iterative min-label propagation (doc -> min over its buckets of the
-    bucket's min label), converging in O(component diameter) rounds.
+    linear. Shape (one pass + tiny iterations):
+
+    1. band keys straight from the UDF (no signature materialization);
+    2. ONE shuffle of the exploded bucket rows: per-bucket min via a
+       window, star edges (member -> bucket-min), singleton buckets
+       fall out via the a != b filter — no separate prune pass, no join;
+    3. connected components by min-label propagation WITH pointer
+       jumping over the compressed edge list (|edges| ~ |dup docs|,
+       orders of magnitude smaller than the bucket table), iterated to
+       convergence in O(log diameter) rounds.
 
     Returns (doc_id, canonical_id) where canonical_id is the smallest
     doc id reachable through shared LSH buckets.
     """
-    sigs = minhash_signatures(docs, k, text_col=text_col, id_col=id_col)
-    raw_buckets = _band_buckets(sigs, k, bands, id_col).persist()
+    bkeys = minhash_band_keys(docs, k, bands, text_col=text_col, id_col=id_col)
+    raw = bkeys.select(F.col(id_col), F.explode("bkeys").alias("bkey"))
+    # localCheckpoint MATERIALIZES the edge list and truncates lineage —
+    # every downstream action would otherwise re-run the signature UDF
+    # (and a plain persist() would be cascade-invalidated by upstream
+    # unpersist calls — measured as an O(rounds^2) silent re-derivation).
+    star = _star_edges(raw, id_col).localCheckpoint(eager=True)
+    n_edges = star.count()
 
-    # PRUNE: only buckets with >=2 docs carry dedup signal. In a web
-    # corpus the vast majority of docs are unique, so this one aggregate
-    # shrinks the iteration working set by an order of magnitude before
-    # any label propagation happens. raw_buckets is persisted so the
-    # signature UDF runs exactly once (the semi-join reads it twice).
-    dup_buckets = (
-        raw_buckets.groupBy("band", "bkey")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .select("band", "bkey")
-    )
-    buckets = raw_buckets.join(dup_buckets, ["band", "bkey"], "left_semi").persist()
-    buckets.count()  # materialize the pruned set, then drop the raw one
-    raw_buckets.unpersist()
-
-    labels = buckets.select(id_col).distinct().withColumn("label", F.col(id_col)).persist()
-    for it in range(max_iters):
-        bucket_min = (
-            buckets.join(labels, id_col)
-            .groupBy("band", "bkey")
-            .agg(F.min("label").alias("bmin"))
+    if n_edges <= driver_cc_max_edges:
+        # the dup-edge graph is a sliver of the corpus (typ. <1% of docs);
+        # below the threshold, solve components on the driver (numpy
+        # pointer jumping over ~16 bytes/edge) — the same small-side
+        # trade a broadcast join makes. Above it, the distributed loop.
+        cc = _driver_connected_components(star.toPandas())
+        labels = docs.sparkSession.createDataFrame(cc).select(
+            F.col("__node").alias(id_col), F.col("__root").alias("label")
         )
-        hop = (
-            buckets.join(bucket_min, ["band", "bkey"])
-            .groupBy(id_col)
-            .agg(F.min("bmin").alias("label"))
-        )
-        # pointer jumping: label <- label(label). One extra tiny self-join
-        # halves the remaining component diameter each round, so chains of
-        # length D converge in O(log D) rounds instead of O(D).
-        lbl2 = hop.select(F.col("label").alias("_l2"), F.col(id_col).alias("label"))
-        merged = (
-            hop.join(lbl2, "label", "left")
-            .select(id_col, F.least(F.col("label"), F.coalesce("_l2", F.col("label"))).alias("label"))
-            .persist()
-        )
-        changed = (
-            merged.join(labels.withColumnRenamed("label", "old"), id_col)
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = merged
-        if changed == 0:
-            break
-    buckets.unpersist()
+    else:
+        # distributed min-label propagation with pointer jumping over the
+        # symmetrized edge list. Every round's label table is
+        # localCheckpoint-ed (cascade-safe, tiny: |dup docs| rows).
+        edges = star.union(
+            star.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint(eager=True)
+        nodes = edges.select(F.col("a").alias(id_col)).distinct()
+        labels = nodes.withColumn("label", F.col(id_col)).localCheckpoint(eager=True)
+        for _ in range(max_iters):
+            msgs = edges.join(labels.toDF("b", "cand"), "b").select(
+                F.col("a").alias(id_col), "cand"
+            )
+            hop = (
+                labels.select(id_col, F.col("label").alias("cand"))
+                .union(msgs)
+                .groupBy(id_col)
+                .agg(F.min("cand").alias("label"))
+            )
+            lbl2 = hop.select(F.col("label").alias("_l2"), F.col(id_col).alias("label"))
+            merged = (
+                hop.join(lbl2, "label", "left")
+                .select(
+                    id_col,
+                    F.least(F.col("label"), F.coalesce("_l2", F.col("label"))).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                merged.join(labels.withColumnRenamed("label", "old"), id_col)
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels = merged
+            if changed == 0:
+                break
     # docs never seen in a duplicate bucket are their own canonical
     all_ids = docs.select(F.col(id_col))
     out = all_ids.join(labels, id_col, "left").select(

@@ -249,3 +249,59 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------ embedding near-dup pairs
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT all-pairs form:
+    self-join on id_a < id_b, JVM-side dot products, cosine >= threshold.
+    Quadratic — the correctness baseline and the small-corpus path; use
+    embedding_dup_pairs_lsh for the bucketed scale path.
+    """
+    n = with_norm(emb.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e")), "e")
+    a = n.toDF("id_a", "e_a", "n_a")
+    b = n.toDF("id_b", "e_b", "n_b")
+    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = (_dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b"))).alias("cosine")
+    return j.select("id_a", "id_b", sim).filter(F.col("cosine") >= threshold)
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH bucket self-join prunes
+    candidates (same-bucket in ANY of n_tables tables), then the exact
+    cosine refine. Linear-ish in corpus size for high thresholds (near-dup
+    vectors collide with probability (1 - theta/pi)^n_bits per table);
+    recall < 1 by construction — tune n_tables up for tighter guarantees.
+    """
+    if dim is None:
+        dim = len(emb.select(emb_col).first()[0])
+    banded = lsh_bucket_ids(
+        emb.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e")),
+        n_bits, n_tables, "e", dim,
+    )
+    a = banded.toDF("id_a", "e_a", "table", "bucket")
+    b = banded.toDF("id_b", "e_b", "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "e_a", "id_b", "e_b")
+        .distinct()
+    )
+    na = F.sqrt(F.expr("aggregate(e_a, 0.0D, (s, v) -> s + v * v)"))
+    nb = F.sqrt(F.expr("aggregate(e_b, 0.0D, (s, v) -> s + v * v)"))
+    sim = (_dot("e_a", "e_b") / (na * nb)).alias("cosine")
+    return cand.select("id_a", "id_b", sim).filter(F.col("cosine") >= threshold)

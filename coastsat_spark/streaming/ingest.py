@@ -51,3 +51,34 @@ def streaming_pixel_counts(
 def streaming_dedup(stream: DataFrame, watermark: str = "45 days") -> DataFrame:
     """Streaming exact dedup on url within the watermark horizon."""
     return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
+
+
+def streaming_tile_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState, §2.10): running
+    per-tile observation count + cloud fraction, emitted every trigger in
+    update mode. State = (n, cloud_sum); the final emission per tile must
+    equal the batch groupBy aggregate — the test's exactness invariant.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    prepared = tiling.with_tiles(tiling.with_bands(tiling.with_geo(stream)))
+    src = prepared.select("tile", F.col("cloud").cast("double").alias("cloud"))
+
+    def fn(key, pdfs, state: GroupState):
+        n, csum = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            csum += float(pdf["cloud"].sum())
+        state.update((n, csum))
+        yield pd.DataFrame(
+            {"tile": [key[0]], "n_docs": [n], "cloud_frac": [csum / max(n, 1)]}
+        )
+
+    return src.groupBy("tile").applyInPandasWithState(
+        fn,
+        outputStructType="tile long, n_docs long, cloud_frac double",
+        stateStructType="n long, csum double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

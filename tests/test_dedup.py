@@ -119,3 +119,15 @@ def test_pigeonhole_banding_complete(spark, planted):
                 h = bin((sig[i] ^ sig[j]) & ((1 << 64) - 1)).count("1")
                 if h <= 3:
                     assert (i, j) in found, (i, j, h)
+
+
+def test_minhash_assignment_distributed_path(spark, planted):
+    """driver_cc_max_edges=0 forces the distributed label-propagation
+    loop; it must produce the same canonical assignment as the driver
+    union-find path."""
+    _, sdf = planted
+    a = dedup.minhash_dedup_assign(sdf, k=128, bands=32).toPandas()
+    b = dedup.minhash_dedup_assign(sdf, k=128, bands=32, driver_cc_max_edges=0).toPandas()
+    ma = dict(zip(a["doc_id"], a["canonical_id"]))
+    mb = dict(zip(b["doc_id"], b["canonical_id"]))
+    assert ma == mb

@@ -107,3 +107,19 @@ def test_bruteforce_two_phase_plan(spark, clustered):
     import re
     wins = re.findall(r"Window \[row_number\(\).*?\]", plan)
     assert any("_salt" in w for w in wins), plan[:2000]
+
+
+def test_embedding_dup_pairs_lsh_recall(spark, clustered):
+    """LSH-bucketed near-dup pairs recover (almost) all exact pairs at a
+    high threshold; every reported pair is exact-verified (no false
+    positives by construction of the refine)."""
+    _, sdf = clustered
+    exact = similarity.embedding_dup_pairs(sdf, threshold=0.97).toPandas()
+    approx = similarity.embedding_dup_pairs_lsh(
+        sdf, threshold=0.97, n_bits=8, n_tables=12
+    ).toPandas()
+    e = set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
+    a = set(map(tuple, approx[["id_a", "id_b"]].to_numpy()))
+    assert len(e) > 20  # planted clusters make this non-degenerate
+    assert a <= e  # refine is exact -> no false positives
+    assert len(a & e) / len(e) >= 0.9

@@ -43,3 +43,29 @@ def test_streaming_dedup_urls(spark, web_path):
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT url) AS d FROM dedup_urls").collect()[0]
     assert got["n"] == got["d"]  # no duplicate urls pass through
     assert got["n"] > 0
+
+
+def test_streaming_stateful_tile_stats(spark, web_path):
+    """applyInPandasWithState: the last emitted row per tile equals the
+    batch aggregate exactly (state accumulates across triggers)."""
+    stream = ingest.stream_webpages(spark, web_path)
+    _run(ingest.streaming_tile_stats(stream), "tile_stats", mode="update")
+    got = spark.sql(
+        # memory sink in update mode appends every emission; keep the
+        # last (highest running count) per tile
+        "SELECT tile, max_by(n_docs, n_docs) AS n_docs,"
+        " max_by(cloud_frac, n_docs) AS cloud_frac FROM tile_stats GROUP BY tile"
+    ).toPandas().set_index("tile").sort_index()
+    from coastsat_spark.operators import tiling as TL
+
+    batch = (
+        TL.with_tiles(TL.with_bands(TL.with_geo(spark.read.parquet(web_path))))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.col("cloud").cast("double")).alias("cloud_frac"),
+        )
+        .toPandas().set_index("tile").sort_index()
+    )
+    assert (got["n_docs"] == batch["n_docs"]).all()
+    assert (abs(got["cloud_frac"] - batch["cloud_frac"]) < 1e-12).all()
