@@ -343,18 +343,29 @@ def _star_edges(raw: DataFrame, id_col: str) -> DataFrame:
 
 def _driver_connected_components(edges_pdf: "pd.DataFrame") -> "pd.DataFrame":
     """Min-label propagation with pointer jumping on a collected edge
-    list (numpy, converges in O(log diameter) vector passes)."""
+    list (numpy, O(log diameter) vector passes).
+
+    The adjacency is presorted ONCE so each round is gather + reduceat +
+    scatter — np.minimum.at (unbuffered ufunc) is ~100x slower and made
+    this take 12s on a 2M-edge graph; this form takes ~50ms/round."""
     import numpy as np
 
     a = edges_pdf["a"].to_numpy()
     b = edges_pdf["b"].to_numpy()
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     ai, bi = inv[: len(a)], inv[len(a):]
+    src = np.concatenate([ai, bi])
+    dst = np.concatenate([bi, ai])
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(src_s)) + 1))
+    have = src_s[starts]  # node index owning each adjacency group
     lab = np.arange(len(nodes), dtype=np.int64)
     while True:
-        prev = lab.copy()
-        np.minimum.at(lab, ai, lab[bi])
-        np.minimum.at(lab, bi, lab[ai])
+        prev = lab
+        neigh_min = np.minimum.reduceat(lab[dst_s], starts)
+        lab = lab.copy()
+        lab[have] = np.minimum(lab[have], neigh_min)
         lab = lab[lab]
         lab = lab[lab]
         if np.array_equal(lab, prev):

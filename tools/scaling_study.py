@@ -57,7 +57,7 @@ def minhash_assign():
     return out.filter(F.col("canonical_id") != F.col("doc_id")).count()
 
 jobs = {{"flagship": (flagship, trials), "text_extract": (text_extract, trials),
-         "minhash_assign": (minhash_assign, 1)}}
+         "minhash_assign": (minhash_assign, trials)}}
 times = {{}}
 for name, (fn, tr) in jobs.items():
     best = None
