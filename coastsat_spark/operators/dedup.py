@@ -168,11 +168,28 @@ def np_minhash_hashes(tok_arrays, k: int, shingle_words: int = 3, seed: int = 42
     counts = np.maximum(lens - (w - 1), 0)
     nonempty = np.flatnonzero(counts)
     starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
-    # one pass per slot keeps temporaries cache-resident (a (k, total)
-    # matrix would churn hundreds of MB of temporaries per batch)
-    for i in range(k):
-        hv = splitmix64(digests ^ salts[i])
-        out[nonempty, i] = np.minimum.reduceat(hv, starts)
+    ends = starts + counts[nonempty]
+    # Blocked slot loop: the k hash+min passes run over doc-aligned
+    # digest CHUNKS small enough to stay cache-resident. A straight
+    # per-slot pass over the whole batch streams the full digest array
+    # from DRAM k times — fine for one worker, but 16+ concurrent
+    # workers saturate memory bandwidth and kill multi-core scaling
+    # (measured: 2.4x instead of 3.7x going 4->16 threads). Chunking
+    # turns that into ONE DRAM pass + k cache passes per chunk.
+    chunk_target = 1 << 16  # uint64s, ~512 KB per worker
+    d0 = 0
+    while d0 < len(nonempty):
+        d1 = d0
+        while d1 < len(nonempty) and ends[d1] - starts[d0] < chunk_target:
+            d1 += 1
+        d1 = max(d1, d0 + 1)
+        dchunk = digests[starts[d0] : ends[d1 - 1]]
+        local_starts = starts[d0:d1] - starts[d0]
+        docs_sel = nonempty[d0:d1]
+        for i in range(k):
+            hv = splitmix64(dchunk ^ salts[i])
+            out[docs_sel, i] = np.minimum.reduceat(hv, local_starts)
+        d0 = d1
     return out
 
 
@@ -304,39 +321,26 @@ def minhash_band_keys(
 
 def _star_edges(raw: DataFrame, id_col: str) -> DataFrame:
     """(a, b) star edges per LSH bucket: every member points at its
-    bucket's min id; singleton buckets vanish (a == b filtered).
+    bucket's min id; singleton buckets vanish before the join (the
+    count > 1 filter), so the join's build side is only the multi-member
+    buckets and AQE plans it as a broadcast when small.
 
-    ONE exchange (repartition by bkey) + a vectorized per-partition pass:
-    sortWithinPartitions puts each bucket contiguous, numpy reduceat takes
-    the per-bucket min, members broadcast against it. This replaces a
-    9.4M-group hash aggregate + a second 9.6M-row join exchange — the
-    aggregate's map-side combine is useless when nearly every bucket is
-    a singleton. Memory per task = one shuffle partition (bounded by the
-    partition count, the standard dial at scale).
+    All-JVM on purpose: an A/B against a repartition + sortWithinPartitions
+    + mapInPandas formulation showed the Python pass scaling NEGATIVELY
+    with cores (Arrow round-trip of the full bucket table contends for
+    memory bandwidth: 32s at 4 threads -> 54s at 16, vs 43s -> 24.5s for
+    this hash-aggregate + join form).
     """
-    import numpy as np
-
-    def gen(batches):
-        ks, ids = [], []
-        for pdf in batches:
-            ks.append(pdf["bkey"].to_numpy())
-            ids.append(pdf[id_col].to_numpy())
-        if not ks:
-            return
-        k_ = np.concatenate(ks)
-        i_ = np.concatenate(ids)
-        order = np.argsort(k_, kind="stable")
-        k_, i_ = k_[order], i_[order]
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(k_)) + 1))
-        mins = np.minimum.reduceat(i_, starts)
-        b = np.repeat(mins, np.diff(np.concatenate((starts, [len(k_)]))))
-        m = i_ != b
-        yield pd.DataFrame({"a": i_[m], "b": b[m]})
-
+    bmin = (
+        raw.groupBy("bkey")
+        .agg(F.min(id_col).alias("b"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("bkey", "b")
+    )
     return (
-        raw.repartition("bkey")
-        .sortWithinPartitions("bkey")
-        .mapInPandas(gen, schema="a long, b long")
+        raw.join(bmin, "bkey")
+        .filter(F.col(id_col) != F.col("b"))
+        .select(F.col(id_col).alias("a"), "b")
         .distinct()
     )
 
@@ -390,25 +394,26 @@ def minhash_dedup_assign(
     linear. Shape (one pass + tiny iterations):
 
     1. band keys straight from the UDF (no signature materialization);
-    2. ONE shuffle of the exploded bucket rows: per-bucket min via a
-       window, star edges (member -> bucket-min), singleton buckets
-       fall out via the a != b filter — no separate prune pass, no join;
-    3. connected components by min-label propagation WITH pointer
-       jumping over the compressed edge list (|edges| ~ |dup docs|,
-       orders of magnitude smaller than the bucket table), iterated to
-       convergence in O(log diameter) rounds.
+    2. star edges (member -> bucket-min) from one aggregate + one join
+       over the exploded bucket table; singleton buckets (the vast
+       majority) drop before the join;
+    3. connected components over the compressed edge list (|edges| ~
+       |dup docs|, orders of magnitude smaller than the bucket table):
+       driver-side numpy pointer jumping below `driver_cc_max_edges`,
+       distributed min-label propagation with pointer jumping above it.
 
     Returns (doc_id, canonical_id) where canonical_id is the smallest
     doc id reachable through shared LSH buckets.
     """
     bkeys = minhash_band_keys(docs, k, bands, text_col=text_col, id_col=id_col)
-    raw = bkeys.select(F.col(id_col), F.explode("bkeys").alias("bkey"))
+    raw = bkeys.select(F.col(id_col), F.explode("bkeys").alias("bkey")).persist()
     # localCheckpoint MATERIALIZES the edge list and truncates lineage —
     # every downstream action would otherwise re-run the signature UDF
     # (and a plain persist() would be cascade-invalidated by upstream
     # unpersist calls — measured as an O(rounds^2) silent re-derivation).
     star = _star_edges(raw, id_col).localCheckpoint(eager=True)
     n_edges = star.count()
+    raw.unpersist()  # safe: star's lineage is truncated
 
     if n_edges <= driver_cc_max_edges:
         # the dup-edge graph is a sliver of the corpus (typ. <1% of docs);
@@ -416,8 +421,13 @@ def minhash_dedup_assign(
         # pointer jumping over ~16 bytes/edge) — the same small-side
         # trade a broadcast join makes. Above it, the distributed loop.
         cc = _driver_connected_components(star.toPandas())
-        labels = docs.sparkSession.createDataFrame(cc).select(
-            F.col("__node").alias(id_col), F.col("__root").alias("label")
+        # drop identity rows (root == node): coalesce() in the final join
+        # yields the same answer and the broadcast build side shrinks
+        cc = cc[cc["__root"] != cc["__node"]]
+        labels = F.broadcast(
+            docs.sparkSession.createDataFrame(cc).select(
+                F.col("__node").alias(id_col), F.col("__root").alias("label")
+            )
         )
     else:
         # distributed min-label propagation with pointer jumping over the

@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # shuffle/spill local dirs on tmpfs: on a real cluster every
+        # executor brings its own local SSDs (shuffle bandwidth scales
+        # with the executor count); in single-box local mode one virtio
+        # disk would serialize all "executors" through a device that
+        # does NOT scale with thread count — memory-backed local dirs
+        # restore the per-executor-scaling analog. Override with
+        # SPARK_LOCAL_DIRS for disk-backed runs.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

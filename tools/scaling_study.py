@@ -88,10 +88,20 @@ def main() -> None:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    legs = {}
-    for cpus in (n, 4 * n):
-        legs[cpus] = run_leg(sf, cpus, trials)
-        print(f"local[{cpus}]: {legs[cpus]['times']}")
+    # INTERLEAVE the legs across trials (4,16,4,16,...) so slow host
+    # drift (tenant bursts, thermal) hits both parallelism levels alike
+    # instead of biasing whichever leg ran second; min-of-trials per
+    # (job, leg) then drops the polluted rounds.
+    legs: dict = {}
+    for t in range(trials):
+        for cpus in (n, 4 * n):
+            res = run_leg(sf, cpus, 1)
+            print(f"trial {t} local[{cpus}]: {res['times']}", flush=True)
+            if cpus not in legs:
+                legs[cpus] = res
+            else:
+                for q, v in res["times"].items():
+                    legs[cpus]["times"][q] = min(legs[cpus]["times"][q], v)
     small, big = legs[n], legs[4 * n]
     eff = {
         q: round((small["times"][q] / big["times"][q]) / 4.0, 3)
