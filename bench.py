@@ -46,6 +46,7 @@ def main() -> None:
         cpus=cpus,
         shuffle_partitions=cpus,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
+        tmpfs_local_dir=True,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -223,8 +223,20 @@ def _band_buckets(signatures: DataFrame, k: int, bands: int, id_col: str) -> Dat
     codegen-able expressions (element_at + xxhash64), deliberately NOT a
     higher-order `transform` lambda (interpreted, no codegen) and NOT a
     string concat (pointless bytes). Profiled 24.7s -> ~3s at sf0.1.
+
+    The caller-supplied `k` MUST match the signature length: element_at
+    past the end returns null silently (non-ANSI), which would make every
+    out-of-range band hash identically across all docs — an all-pairs
+    candidate explosion. assert_true fails the job loudly instead (one
+    int compare per row; returns NULL when it passes, so the filter keeps
+    every valid row while forcing evaluation).
     """
     r = k // bands
+    guard = F.assert_true(
+        F.size("sig") == F.lit(k),
+        F.lit(f"signature length != k={k}: pass the k the signatures were built with"),
+    )
+    signatures = signatures.filter(guard.isNull())
     entries = [
         F.struct(
             F.lit(b).alias("band"),
@@ -354,6 +366,9 @@ def _driver_connected_components(edges_pdf: "pd.DataFrame") -> "pd.DataFrame":
     this take 12s on a 2M-edge graph; this form takes ~50ms/round."""
     import numpy as np
 
+    if len(edges_pdf) == 0:  # no dup buckets at all -> empty mapping
+        return pd.DataFrame({"__node": pd.Series([], dtype="int64"),
+                             "__root": pd.Series([], dtype="int64")})
     a = edges_pdf["a"].to_numpy()
     b = edges_pdf["b"].to_numpy()
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
@@ -415,6 +430,14 @@ def minhash_dedup_assign(
     n_edges = star.count()
     raw.unpersist()  # safe: star's lineage is truncated
 
+    if n_edges == 0:
+        # duplicate-free corpus: no bucket has two members, so every doc
+        # is its own canonical — skip CC entirely (the numpy CC would
+        # otherwise see an empty adjacency and the distributed loop an
+        # empty node set; both are pure overhead here)
+        return docs.select(
+            F.col(id_col), F.col(id_col).alias("canonical_id")
+        )
     if n_edges <= driver_cc_max_edges:
         # the dup-edge graph is a sliver of the corpus (typ. <1% of docs);
         # below the threshold, solve components on the driver (numpy

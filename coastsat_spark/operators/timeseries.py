@@ -78,9 +78,15 @@ def monthly_average(ts: DataFrame, time_col: str = "scene_month") -> DataFrame:
     labeled = ts.filter(F.col("chainage").isNotNull()).withColumn(
         "month_label", F.make_date(F.year(time_col), F.month(time_col), F.lit(15))
     )
-    cutoff = labeled.agg(F.date_sub(F.max(F.col(time_col).cast("date")), 30)).collect()[0][0]
+    # cutoff scalar stays IN the plan (broadcast 1-row cross join): no
+    # eager .collect() on the driver, so the operator composes lazily and
+    # the input is scanned once at scale (Catalyst pushes the filter).
+    cutoff = labeled.agg(
+        F.date_sub(F.max(F.col(time_col).cast("date")), 30).alias("_cut")
+    )
     return (
-        labeled.filter(F.col("month_label") <= F.lit(cutoff))
+        labeled.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("month_label") <= F.col("_cut"))
         .groupBy("transect", "month_label")
         .agg(F.avg("chainage").alias("mean_chainage"), F.count(F.lit(1)).alias("n"))
     )

@@ -17,6 +17,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    tmpfs_local_dir: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
@@ -43,15 +44,20 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        # shuffle/spill local dirs on tmpfs: on a real cluster every
-        # executor brings its own local SSDs (shuffle bandwidth scales
-        # with the executor count); in single-box local mode one virtio
-        # disk would serialize all "executors" through a device that
-        # does NOT scale with thread count — memory-backed local dirs
-        # restore the per-executor-scaling analog. Override with
-        # SPARK_LOCAL_DIRS for disk-backed runs.
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
+    # Library default keeps Spark's disk-backed local dirs (a tmpfs
+    # default would let large spills exhaust RAM, and cluster managers
+    # override spark.local.dir anyway). The bench harness passes
+    # tmpfs_local_dir=True: on a real cluster every executor brings its
+    # own local SSDs (shuffle bandwidth scales with executor count); in
+    # single-box local mode one virtio disk would serialize all
+    # "executors" through a device that does NOT scale with thread
+    # count — memory-backed local dirs restore the per-executor-scaling
+    # analog there. SPARK_LOCAL_DIRS still overrides either way.
+    if tmpfs_local_dir:
+        builder = builder.config(
+            "spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

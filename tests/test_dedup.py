@@ -131,3 +131,24 @@ def test_minhash_assignment_distributed_path(spark, planted):
     ma = dict(zip(a["doc_id"], a["canonical_id"]))
     mb = dict(zip(b["doc_id"], b["canonical_id"]))
     assert ma == mb
+
+
+def test_minhash_assignment_duplicate_free_corpus(spark):
+    # ADVICE r2 (high): a corpus where no two docs share an LSH band key
+    # used to IndexError inside the driver CC (empty edge list); the
+    # guard must return the identity mapping instead.
+    texts = [" ".join(f"q{_letters(i * 50 + j)}" for j in range(30)) for i in range(50)]
+    pdf = pd.DataFrame({"doc_id": np.arange(50), "text": texts})
+    out = dedup.minhash_dedup_assign(spark.createDataFrame(pdf), k=32, bands=8).toPandas()
+    assert len(out) == 50
+    assert (out["canonical_id"] == out["doc_id"]).all()
+
+
+def test_lsh_candidate_pairs_rejects_wrong_k(spark, planted):
+    # ADVICE r2: k must match the signature length, else out-of-range
+    # element_at slots collide every doc into one bucket. The guard
+    # raises instead of silently exploding.
+    _, sdf = planted
+    sigs = dedup.minhash_signatures(sdf, k=64)
+    with pytest.raises(Exception, match="signature length"):
+        dedup.lsh_candidate_pairs(sigs, bands=16, k=128).count()

@@ -37,7 +37,8 @@ from coastsat_spark.plans import pipeline
 cpus = {cpus}
 trials = {trials}
 spark = get_spark(cpus=cpus, shuffle_partitions=cpus,
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}},
+                  tmpfs_local_dir=True)
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(ensure_webpages(spark, {sf}))
 n_docs = docs.count()
