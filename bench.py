@@ -115,8 +115,12 @@ def main() -> None:
         rows[name] = int(fn() or 0)
         times[name] = round(time.perf_counter() - t0, 3)
         # drop caches each query leaves behind so later queries measure
-        # the engine, not accumulated session state
+        # the engine, not accumulated session state; the explicit driver
+        # GC lets ContextCleaner reap shuffle files + any unreferenced
+        # blocks NOW instead of when the 16 GiB heap eventually collects
+        # (accumulated blocks pin storage memory and skew later queries)
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(times.values()), 3)
     flagship = times["flagship_shoreline_ts"]

@@ -385,8 +385,11 @@ def _driver_connected_components(edges_pdf: "pd.DataFrame") -> "pd.DataFrame":
         neigh_min = np.minimum.reduceat(lab[dst_s], starts)
         lab = lab.copy()
         lab[have] = np.minimum(lab[have], neigh_min)
-        lab = lab[lab]
-        lab = lab[lab]
+        while True:  # full path compression: fewer outer (gather-heavy) rounds
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
         if np.array_equal(lab, prev):
             break
     return pd.DataFrame({"__node": nodes, "__root": nodes[lab]})
@@ -420,17 +423,22 @@ def minhash_dedup_assign(
     Returns (doc_id, canonical_id) where canonical_id is the smallest
     doc id reachable through shared LSH buckets.
     """
-    bkeys = minhash_band_keys(docs, k, bands, text_col=text_col, id_col=id_col)
-    raw = bkeys.select(F.col(id_col), F.explode("bkeys").alias("bkey")).persist()
-    # localCheckpoint MATERIALIZES the edge list and truncates lineage —
-    # every downstream action would otherwise re-run the signature UDF
-    # (and a plain persist() would be cascade-invalidated by upstream
-    # unpersist calls — measured as an O(rounds^2) silent re-derivation).
-    star = _star_edges(raw, id_col).localCheckpoint(eager=True)
+    # persist the UDF OUTPUT (|docs| rows of band-key arrays — an order of
+    # magnitude lighter than the exploded bucket table) so the signature
+    # UDF runs exactly once even though _star_edges scans the bucket table
+    # twice (aggregate + join); persist the edge list itself (tiny: ~|dup
+    # docs| rows) so count + collect don't recompute. Both are unpersisted
+    # before returning — no checkpoint blocks leak into the session, which
+    # measurably degrades later queries (blocks pin storage memory until a
+    # driver GC lets ContextCleaner reap them).
+    bkeys = minhash_band_keys(docs, k, bands, text_col=text_col, id_col=id_col).persist()
+    raw = bkeys.select(F.col(id_col), F.explode("bkeys").alias("bkey"))
+    star = _star_edges(raw, id_col).persist()
     n_edges = star.count()
-    raw.unpersist()  # safe: star's lineage is truncated
 
     if n_edges == 0:
+        bkeys.unpersist()
+        star.unpersist()
         # duplicate-free corpus: no bucket has two members, so every doc
         # is its own canonical — skip CC entirely (the numpy CC would
         # otherwise see an empty adjacency and the distributed loop an
@@ -444,6 +452,8 @@ def minhash_dedup_assign(
         # pointer jumping over ~16 bytes/edge) — the same small-side
         # trade a broadcast join makes. Above it, the distributed loop.
         cc = _driver_connected_components(star.toPandas())
+        bkeys.unpersist()
+        star.unpersist()
         # drop identity rows (root == node): coalesce() in the final join
         # yields the same answer and the broadcast build side shrinks
         cc = cc[cc["__root"] != cc["__node"]]
@@ -455,10 +465,15 @@ def minhash_dedup_assign(
     else:
         # distributed min-label propagation with pointer jumping over the
         # symmetrized edge list. Every round's label table is
-        # localCheckpoint-ed (cascade-safe, tiny: |dup docs| rows).
+        # localCheckpoint-ed (cascade-safe, tiny: |dup docs| rows;
+        # checkpoints — not plain persists — because each round's
+        # unreferenced predecessor would otherwise cascade-invalidate,
+        # measured in r1 as an O(rounds^2) silent re-derivation).
         edges = star.union(
             star.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ).localCheckpoint(eager=True)
+        bkeys.unpersist()
+        star.unpersist()
         nodes = edges.select(F.col("a").alias(id_col)).distinct()
         labels = nodes.withColumn("label", F.col(id_col)).localCheckpoint(eager=True)
         for _ in range(max_iters):
