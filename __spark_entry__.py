@@ -654,34 +654,6 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------- rows-only queries (no SQL equivalent)
 
-def q_shoreline_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.operators import raster, tiling
-
-    docs = _webpages(spark, sf_dir)
-    prepared = tiling.prepare_documents(docs)
-    px = raster.aggregate_pixels(prepared)
-    q = raster.scene_quality(px, raster.ShorelineSettings())
-    return raster.extract_shorelines(px, quality=q)
-
-
-def q_scene_quality_web(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # same gates over the real webpages ingest path (html geotag parse);
-    # the oracle-checked variant is q_scene_quality above.
-    from coastsat_spark.operators import raster, tiling
-
-    docs = _webpages(spark, sf_dir)
-    prepared = tiling.prepare_documents(docs)
-    px = raster.aggregate_pixels(prepared)
-    return raster.scene_quality(px, raster.ShorelineSettings())
-
-
-def q_transect_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.plans import pipeline
-
-    docs = _webpages(spark, sf_dir)
-    return pipeline.run_flagship(spark, docs).timeseries
-
-
 def q_shoreline_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     # R7 + find_wl_contours2: extraction gated by the buffer around the
     # previous round's shoreline, thresholding via the class-refined
@@ -732,21 +704,16 @@ def q_qc_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.run_flagship(spark, docs, qc=True).timeseries
 
 
-def q_despiked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_despike_tide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3 iterative despike + tide correction chained on the flagship
+    # series (one driver row exercising both post-processing operators)
     from coastsat_spark.operators.timeseries import despike_timeseries
     from coastsat_spark.plans import pipeline
 
     docs = _webpages(spark, sf_dir)
     ts = pipeline.run_flagship(spark, docs).timeseries
-    return despike_timeseries(ts, max_cross_change=0.5)
-
-
-def q_tidal_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.plans import pipeline
-
-    docs = _webpages(spark, sf_dir)
-    res = pipeline.run_flagship(spark, docs)
-    return pipeline.tidally_corrected(spark, res.timeseries)
+    despiked = despike_timeseries(ts, max_cross_change=0.5)
+    return pipeline.tidally_corrected(spark, despiked)
 
 
 def q_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,31 +729,28 @@ def q_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.functions.text import langid
-
-    docs = _webpages(spark, sf_dir)
-    return (
-        docs.withColumn("pred", langid(F.col("text")))
-        .groupBy("lang", "pred")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.functions.text import quality_score
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # language-ID + composite quality score as pure JVM expressions over
+    # the documents table, DuckDB-checked against the identical SQL forms
+    # (the r2 per-row Python udfs are gone — this IS the 100 TB path).
+    from coastsat_spark.functions.text import langid_col, quality_score_col
 
     d = spark.read.parquet(_t(sf_dir, "documents"))
     return d.select(
-        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+        "doc_id",
+        langid_col("text").alias("pred_lang"),
+        quality_score_col("text").alias("quality"),
     )
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.functions.text import fingerprint
+    # rolling document fingerprint: JVM tokenize+xxhash64, vectorized
+    # numpy Horner fold (no per-byte/per-token Python; rows-only because
+    # DuckDB has no xxhash64 to mirror the token hashes)
+    from coastsat_spark.functions.text import fingerprint_col
 
     d = spark.read.parquet(_t(sf_dir, "documents"))
-    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    return d.select("doc_id", fingerprint_col("text").alias("fp"))
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,24 +843,32 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "rank", "c_id", F.round("cosine", 4).alias("cosine"))
 
 
-def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.operators.multimodal import image_features, media_table
-
-    media = media_table(spark, 500)
-    out = image_features(media)
-    return out.select(
-        "media_id", "width", "height", "channels",
-        F.round("mean_r", 4).alias("mean_r"),
-        F.round("brightness", 4).alias("brightness"),
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # image decode/feature-extract + audio frame-sampling over binary
+    # media columns, unioned into one driver row (mapInPandas plumbing;
+    # codec decode is the documented fake-container stub)
+    from coastsat_spark.operators.multimodal import (
+        audio_frame_samples,
+        image_features,
+        media_table,
     )
 
-
-def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.operators.multimodal import audio_frame_samples, media_table
-
     media = media_table(spark, 500)
-    out = audio_frame_samples(media)
-    return out.select("media_id", "frame_idx", F.round("rms", 4).alias("rms"))
+    img = image_features(media).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.lit(0).alias("idx"),
+        F.round("brightness", 4).alias("v1"),
+        F.round("mean_r", 4).alias("v2"),
+    )
+    aud = audio_frame_samples(media).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.col("frame_idx").alias("idx"),
+        F.round("rms", 4).alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return img.unionByName(aud)
 
 
 # ------------------------------------------------------------ registries
@@ -938,34 +910,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_histogram": q_class_histogram,
         "json_extract": q_json_extract,
         "embedding_dedup": q_embedding_dedup,
-        # kernel / rows-only
-        "shoreline_points": q_shoreline_points,
-        "shoreline_refined": q_shoreline_refined,
-        "pansharpen_scenes": q_pansharpen,
-        "scene_quality_web": q_scene_quality_web,
-        "transect_timeseries": q_transect_timeseries,
-        "qc_timeseries": q_qc_timeseries,
-        "despiked": q_despiked,
-        "tidal_corrected": q_tidal_corrected,
-        "text_extraction": q_text_extraction,
-        "langid": q_langid,
-        "quality_scores": q_quality_scores,
-        "fingerprints": q_fingerprints,
-        "minhash_pairs": q_minhash_pairs,
-        "minhash_assign": q_minhash_assign,
-        "simhash_pairs": q_simhash_pairs,
-        "classify_scenes": q_classify_scenes,
-        "slope_estimation": q_slope_estimation,
+        "text_metrics": q_text_metrics,
         "ann_bruteforce": q_ann_bruteforce,
+        # kernel / rows-only — the six queries the r2 driver run dropped
+        # (registry was 56 > the ~50-row record cap) run FIRST here; the
+        # registry is consolidated back to exactly 50 entries
+        "slope_estimation": q_slope_estimation,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "image_features": q_image_features,
-        "audio_frames": q_audio_frames,
+        "multimodal_features": q_multimodal_features,
+        "fingerprints": q_fingerprints,
+        "minhash_assign": q_minhash_assign,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "classify_scenes": q_classify_scenes,
+        "shoreline_refined": q_shoreline_refined,
+        "pansharpen_scenes": q_pansharpen,
+        "qc_timeseries": q_qc_timeseries,
+        "despike_tide": q_despike_tide,
+        "text_extraction": q_text_extraction,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from coastsat_spark.functions.cells import encode_cell_sql
+    from coastsat_spark.functions.text import langid_score_sql, quality_score_sql
     from coastsat_spark.operators.raster import ShorelineSettings
     from coastsat_spark.operators.tiling import BANDS, bands_sql, tiles_sql
     from coastsat_spark.operators.transects import make_transects_pdf
@@ -1128,6 +1097,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
+        """,
+        "text_metrics": f"""
+            SELECT doc_id,
+                   {langid_score_sql("text")} AS pred_lang,
+                   {quality_score_sql("text")} AS quality
+            FROM documents
+        """,
+        "ann_bruteforce": """
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt((SELECT sum(e * e)
+                           FROM (SELECT unnest(embedding) AS e) z)) AS nrm
+              FROM embeddings
+            ), p AS (
+              SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                     (SELECT sum(eq * ec)
+                      FROM (SELECT unnest(q.embedding) AS eq,
+                                   unnest(c.embedding) AS ec) z)
+                       / (q.nrm * c.nrm) AS cosine
+              FROM n q JOIN n c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id < 20
+            ), r AS (
+              SELECT q_id, c_id, cosine,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cosine DESC, c_id) AS rank
+              FROM p
+            )
+            SELECT q_id, rank, c_id, round(cosine, 4) AS cosine
+            FROM r WHERE rank <= 5
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -8,7 +8,10 @@ the pytest oracle exercises the same code on collected data.
 
 Analysis operators (language-ID, quality scoring, token counting, rolling
 fingerprints) are the training-data-pipeline additions the engine provides
-beyond the reference (which has no text layer at all).
+beyond the reference (which has no text layer at all). The corpus-scale
+paths are pure JVM expressions (`*_col`) or JVM-tokenized + vectorized
+numpy folds; the pure-Python forms stay as pytest reference
+implementations and are NOT used on any hot path.
 """
 
 from __future__ import annotations
@@ -77,13 +80,20 @@ def parse_geotag(html: pd.Series) -> pd.DataFrame:
 
 # ---------------------------------------------------------------- tokens
 
+# the same BPE-ish pattern as a Spark/DuckDB-safe string (pass via F.lit —
+# SQL string literals would eat the backslash in \s, see oracle pitfalls)
+TOKEN_RE_SQL = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
 def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text) if text else []
 
 
-@F.pandas_udf(T.IntegerType())
-def token_count(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: len(tokenize(t))).astype("int32")
+def token_count_col(text_col) -> "F.Column":
+    """Token count as a pure JVM expression (regexp_extract_all + size) —
+    no Python on the corpus-sized path."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE_SQL), F.lit(0)))
 
 
 # ------------------------------------------------------------ language-ID
@@ -113,7 +123,11 @@ _LANG_PROFILES = {lang: _profile(words) for lang, words in _LANG_MARKERS.items()
 
 
 def langid_score(text: str) -> str:
-    """N-gram-overlap language guess. Deterministic tie-break by lang name."""
+    """N-gram-overlap language guess. Deterministic tie-break by lang name.
+
+    Pure-Python reference implementation; the corpus-scale path is
+    `langid_col` (all-JVM), whose parity with this function is pytest-ed.
+    """
     if not text:
         return "und"
     grams = set()
@@ -129,9 +143,75 @@ def langid_score(text: str) -> str:
     return best_lang if best > 0 else "und"
 
 
-@F.pandas_udf(T.StringType())
-def langid(text: pd.Series) -> pd.Series:
-    return text.map(langid_score)
+# whitespace as an explicit class so Spark and DuckDB regex semantics match
+_WS_CLASS = "[ \\t\\n\\r\\f\\v]+"
+
+
+def langid_col(text_col) -> "F.Column":
+    """Language-ID as a pure JVM expression — the 100 TB path.
+
+    score(lang) = fraction of the language's bigram profile present in
+    the text's padded-word bigram set. A profile gram is 2 chars: either
+    two letters (intra-word substring) or a letter + space (word
+    boundary), so after collapsing whitespace runs to single spaces and
+    padding the ends, `contains(norm, gram)` IS set membership — the
+    expression computes exactly `langid_score` with ~|profile| codegen'd
+    substring searches per language and zero Python.
+    Tie-break: struct max on (score, reverse-rank) = alphabetically first
+    language among ties, matching the reference loop.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(col), F.lit(_WS_CLASS), F.lit(" ")),
+        F.lit(" "),
+    )
+    langs = sorted(_LANG_PROFILES)
+    entries = []
+    for i, lang in enumerate(langs):
+        grams = sorted(_LANG_PROFILES[lang])
+        hits = None
+        for g in grams:
+            h = F.contains(norm, F.lit(g)).cast("int")
+            hits = h if hits is None else hits + h
+        score = hits.cast("double") / float(len(grams))
+        entries.append(
+            F.struct(
+                score.alias("s"),
+                F.lit(len(langs) - i).alias("r"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.greatest(*entries)
+    return F.when(best["s"] > 0.0, best["lang"]).otherwise(F.lit("und"))
+
+
+def langid_score_sql(text_expr: str, dialect_global_flag: bool = True) -> str:
+    """The same language-ID expression as ANSI SQL (DuckDB oracle mirror).
+
+    DuckDB's regexp_replace needs an explicit 'g' flag to replace every
+    whitespace run (Spark replaces all matches by default).
+    """
+    flag = ", 'g'" if dialect_global_flag else ""
+    norm = (
+        f"(' ' || regexp_replace(lower({text_expr}), '{_WS_CLASS}', ' '{flag}) || ' ')"
+    )
+    langs = sorted(_LANG_PROFILES)
+    score_exprs = {}
+    for lang in langs:
+        grams = sorted(_LANG_PROFILES[lang])
+        terms = " + ".join(
+            f"(CASE WHEN contains({norm}, '{g}') THEN 1 ELSE 0 END)" for g in grams
+        )
+        score_exprs[lang] = f"(CAST({terms} AS DOUBLE) / {float(len(grams))!r})"
+    # first (alphabetically) language holding the max score, else 'und'
+    branches = []
+    for lang in langs:
+        others = " AND ".join(
+            f"{score_exprs[lang]} >= {score_exprs[o]}" for o in langs if o != lang
+        )
+        branches.append(f"WHEN {score_exprs[lang]} > 0 AND {others} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
 
 
 # ---------------------------------------------------------- quality score
@@ -157,6 +237,7 @@ def quality_score_value(text: str) -> float:
     """Composite [0,1] quality: length band + stopword presence - punct noise.
 
     Heuristic in the Gopher/C4-rule family (public recipes), deterministic.
+    Pure-Python reference; the corpus-scale path is `quality_score_col`.
     """
     n, punct, stop, mwl = quality_features(text)
     length_ok = min(n / 200.0, 1.0) * (1.0 if n < 20000 else 0.5)
@@ -166,33 +247,127 @@ def quality_score_value(text: str) -> float:
     return round(0.4 * length_ok + 0.3 * stop_ok + 0.2 * punct_pen + 0.1 * word_ok, 6)
 
 
-@F.pandas_udf(T.DoubleType())
-def quality_score(text: pd.Series) -> pd.Series:
-    return text.map(quality_score_value).astype("float64")
+def quality_score_col(text_col) -> "F.Column":
+    """quality_score as JVM expressions (regex counts + arithmetic).
+
+    Feature extraction = four regexp passes (token count, alpha-token
+    count, digit-token count, alpha-char count) + one small filtered-array
+    pass for stopwords; everything else is scalar arithmetic in the same
+    operation order as `quality_score_value`, so values agree bit-for-bit
+    (pytest-ed) without a single row of Python.
+    """
+    raw = F.col(text_col) if isinstance(text_col, str) else text_col
+    col = F.coalesce(raw, F.lit(""))  # the reference scores None like ""
+    n = F.length(col)
+    n_tok = F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE_SQL), F.lit(0)))
+    n_alpha = F.size(F.regexp_extract_all(col, F.lit("[A-Za-z]+"), F.lit(0)))
+    n_num = F.size(F.regexp_extract_all(col, F.lit("[0-9]+"), F.lit(0)))
+    alpha_chars = n - F.length(F.regexp_replace(col, F.lit("[A-Za-z]"), F.lit("")))
+    n_stop = F.size(
+        F.filter(
+            F.regexp_extract_all(F.lower(col), F.lit("[a-z]+"), F.lit(0)),
+            lambda w: w.isin(*sorted(_STOPWORDS)),
+        )
+    )
+    punct_ratio = (n_tok - n_alpha - n_num).cast("double") / F.greatest(n_tok, F.lit(1))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_alpha, F.lit(1))
+    mwl = alpha_chars.cast("double") / F.greatest(n_alpha, F.lit(1))
+    length_ok = F.least(n / F.lit(200.0), F.lit(1.0)) * F.when(n < 20000, 1.0).otherwise(0.5)
+    stop_ok = F.least(stop_ratio / F.lit(0.2), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - F.lit(4.0) * punct_ratio, F.lit(0.0))
+    word_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.3)
+    return F.round(
+        F.lit(0.4) * length_ok + F.lit(0.3) * stop_ok
+        + F.lit(0.2) * punct_pen + F.lit(0.1) * word_ok,
+        6,
+    )
+
+
+def quality_score_sql(text_expr: str) -> str:
+    """quality_score as DuckDB SQL (oracle mirror; 'g' flag on the
+    char-strip regexp_replace — DuckDB replaces first-match by default)."""
+    stops = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+    t = f"coalesce({text_expr}, '')"
+    n = f"length({t})"
+    n_tok = f"len(regexp_extract_all({t}, '{TOKEN_RE_SQL}'))"
+    n_alpha = f"len(regexp_extract_all({t}, '[A-Za-z]+'))"
+    n_num = f"len(regexp_extract_all({t}, '[0-9]+'))"
+    alpha_chars = f"({n} - length(regexp_replace({t}, '[A-Za-z]', '', 'g')))"
+    n_stop = (
+        f"len(list_filter(regexp_extract_all(lower({t}), '[a-z]+'),"
+        f" w -> w IN ({stops})))"
+    )
+    punct_ratio = f"(CAST({n_tok} - {n_alpha} - {n_num} AS DOUBLE) / greatest({n_tok}, 1))"
+    stop_ratio = f"(CAST({n_stop} AS DOUBLE) / greatest({n_alpha}, 1))"
+    mwl = f"(CAST({alpha_chars} AS DOUBLE) / greatest({n_alpha}, 1))"
+    length_ok = f"(least({n} / 200.0, 1.0) * (CASE WHEN {n} < 20000 THEN 1.0 ELSE 0.5 END))"
+    stop_ok = f"least({stop_ratio} / 0.2, 1.0)"
+    punct_pen = f"greatest(1.0 - 4.0 * {punct_ratio}, 0.0)"
+    word_ok = f"(CASE WHEN {mwl} >= 2.0 AND {mwl} <= 12.0 THEN 1.0 ELSE 0.3 END)"
+    return f"round(0.4 * {length_ok} + 0.3 * {stop_ok} + 0.2 * {punct_pen} + 0.1 * {word_ok}, 6)"
 
 
 # ----------------------------------------------------- fingerprint / hashes
 
-_FP_MOD = (1 << 61) - 1
-_FP_BASE = 1000003
+# odd base -> invertible mod 2^64, so the rolling hash never collapses
+_FP_BASE = np.uint64(1000003)
 
 
-def fingerprint64(text: str) -> int:
-    """Rolling polynomial hash of the token stream (document fingerprint).
+def fingerprint64_ref(token_hashes) -> int:
+    """Reference Horner fold for the document fingerprint:
+    h = sum_i xxhash64(tok_i) * BASE^(n-1-i)  (mod 2^64), as signed int64.
 
-    Stable across executors/runs; int64 range (signed) for Spark/DuckDB parity.
+    The spec folds per-TOKEN xxhash64 values (computed JVM-side), not
+    per-byte Python — the r2 per-byte loop was the textbook row-at-a-time
+    scale-killer on a full-corpus operator.
     """
-    h = 0
-    for tok in tokenize(text):
-        for b in tok.encode("utf-8"):
-            h = (h * _FP_BASE + b + 1) % _FP_MOD
-        h = (h * _FP_BASE + 0x1F) % _FP_MOD
-    return h - _FP_MOD if h > _FP_MOD // 2 else h
+    h = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for th in token_hashes:
+            h = h * _FP_BASE + np.uint64(np.int64(th))
+    return int(h.astype(np.int64))
 
 
-@F.pandas_udf(T.LongType())
-def fingerprint(text: pd.Series) -> pd.Series:
-    return text.map(fingerprint64).astype("int64")
+def np_fingerprints(tok_arrays) -> np.ndarray:
+    """Vectorized batch form of fingerprint64_ref: one flat token-hash
+    stream, powers table via wrapping cumprod, per-doc dot-fold via
+    np.add.reduceat. int64 out; empty docs hash to 0."""
+    n = len(tok_arrays)
+    out = np.zeros(n, dtype=np.uint64)
+    # null text -> null token array from the JVM tokenizer: score like empty
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in tok_arrays), dtype=np.int64, count=n
+    )
+    nonempty = np.flatnonzero(lens)
+    if nonempty.size == 0:
+        return out.astype(np.int64)
+    flat = np.concatenate(
+        [np.asarray(a, dtype=np.int64) for a in tok_arrays if a is not None and len(a)]
+    ).view(np.uint64)
+    maxlen = int(lens.max())
+    powers = np.full(maxlen, _FP_BASE, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        powers = np.cumprod(powers)  # BASE^j mod 2^64 (uint64 wraps)
+        starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+        ends_rep = np.repeat(starts + lens[nonempty], lens[nonempty])
+        exps = ends_rep - 1 - np.arange(len(flat), dtype=np.int64)
+        contrib = flat * powers[exps]
+        out[nonempty] = np.add.reduceat(contrib, starts)
+    return out.astype(np.int64)
+
+
+def fingerprint_col(text_col: str) -> "F.Column":
+    """Document fingerprint column: JVM tokenize+xxhash64 (the text never
+    crosses the Arrow boundary) + a fully vectorized numpy fold.
+    Takes a column NAME (the tokenizer is a SQL expression template)."""
+    from ..operators.dedup import token_hashes_col  # lazy: avoid cycles
+
+    @F.pandas_udf(T.LongType())
+    def fp(th: pd.Series) -> pd.Series:
+        return pd.Series(np_fingerprints(th.to_numpy()))
+
+    return fp(token_hashes_col(text_col))
 
 
 def shingles(text: str, k: int = 3) -> set:

@@ -123,3 +123,18 @@ def test_embedding_dup_pairs_lsh_recall(spark, clustered):
     assert len(e) > 20  # planted clusters make this non-degenerate
     assert a <= e  # refine is exact -> no false positives
     assert len(a & e) / len(e) >= 0.9
+
+
+def test_ivf_plan_no_corpus_explosion(spark, clustered):
+    """r2 verdict item: corpus->centroid assignment must be a vectorized
+    argmax projection, NOT crossJoin(broadcast(centroids)) + Window over
+    the corpus x centroid product. The whole IVF plan has exactly one
+    Window (the final per-query rerank) and no nested-loop join."""
+    _, sdf = clustered
+    q = sdf.filter("vec_id < 10")
+    import re
+
+    plan = similarity.ivf_topk(q, sdf, n_centroids=8, n_probe=2, k=5)._jdf.queryExecution().executedPlan().toString()
+    # "Window [" is the exec node; WindowGroupLimit (rank pushdown) is fine
+    assert len(re.findall(r"\bWindow \[", plan)) == 1, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
