@@ -136,19 +136,55 @@ def image_features(media: DataFrame) -> DataFrame:
     )
 
 
-def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Nearest-neighbor resize inside the fake container (R6/S6 warp
-    analog, SDS_download.py:903-964): decode -> NN index -> re-encode."""
+def _resize_nearest(im: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    h, w, _ = im.shape
+    yi = np.arange(out_h) * h // out_h
+    xi = np.arange(out_w) * w // out_w
+    return im[yi][:, xi]
+
+
+def _resize_bilinear(im: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Pixel-center-aligned bilinear resample (the convention GDAL's
+    bilinear warp uses): out center (i+0.5) maps to src (i+0.5)*scale-0.5,
+    edges clamped. Fully vectorized gather + lerp; uint8 out rounds
+    half-up like a 0.5 offset + truncate."""
+    h, w, _ = im.shape
+    fy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    fx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    a = im[y0][:, x0].astype(np.float64)
+    b = im[y0][:, x1].astype(np.float64)
+    c = im[y1][:, x0].astype(np.float64)
+    d = im[y1][:, x1].astype(np.float64)
+    top = a * (1.0 - wx) + b * wx
+    bot = c * (1.0 - wx) + d * wx
+    out = top * (1.0 - wy) + bot * wy
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int, mode: str = "nearest") -> DataFrame:
+    """Resample images inside the fake container (S6 warp analog): the
+    reference's warp_image_to_target switches gdal.Warp between bilinear
+    (continuous bands) and nearest (masks / categorical) at
+    SDS_download.py:903-964 (mode choice :934-940); this operator mirrors
+    both modes. decode -> vectorized resample -> re-encode, one Arrow
+    batch at a time."""
+    if mode not in ("nearest", "bilinear"):
+        raise ValueError(f"mode must be 'nearest' or 'bilinear', got {mode!r}")
+    resample = _resize_nearest if mode == "nearest" else _resize_bilinear
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 im = decode_image_bytes(bytes(payload))
-                h, w, c = im.shape
-                yi = (np.arange(out_h) * h // out_h)
-                xi = (np.arange(out_w) * w // out_w)
-                resized = im[yi][:, xi]
+                c = im.shape[2]
+                resized = resample(im, out_w, out_h)
                 enc = IMAGE_MAGIC + struct.pack("<III", out_w, out_h, c) + resized.tobytes()
                 rows.append((int(mid), enc, out_w, out_h))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
