@@ -57,8 +57,10 @@ def minhash_assign():
     out = dedup.minhash_dedup_assign(sub, k=64, bands=8, max_iters=3)
     return out.filter(F.col("canonical_id") != F.col("doc_id")).count()
 
-jobs = {{"flagship": (flagship, trials), "text_extract": (text_extract, trials),
-         "minhash_assign": (minhash_assign, trials)}}
+all_jobs = {{"flagship": (flagship, trials), "text_extract": (text_extract, trials),
+             "minhash_assign": (minhash_assign, trials)}}
+only = {only!r}
+jobs = {{k: v for k, v in all_jobs.items() if not only or k in only}}
 times = {{}}
 for name, (fn, tr) in jobs.items():
     best = None
@@ -74,8 +76,12 @@ spark.stop()
 """
 
 
-def run_leg(sf: float, cpus: int, trials: int, sf_mh: float = 1.0) -> dict:
-    script = _LEG_SCRIPT.format(repo=REPO, cpus=cpus, sf=sf, trials=trials, sf_mh=sf_mh)
+def run_leg(
+    sf: float, cpus: int, trials: int, sf_mh: float = 1.0, only: tuple = ()
+) -> dict:
+    script = _LEG_SCRIPT.format(
+        repo=REPO, cpus=cpus, sf=sf, trials=trials, sf_mh=sf_mh, only=tuple(only)
+    )
     out = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=5400
     )
@@ -89,14 +95,19 @@ def main() -> None:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    only = tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else ()
     # INTERLEAVE the legs across trials (4,16,4,16,...) so slow host
     # drift (tenant bursts, thermal) hits both parallelism levels alike
     # instead of biasing whichever leg ran second; min-of-trials per
     # (job, leg) then drops the polluted rounds.
+    # in-leg best-of-2 keeps the measurement WARM-JVM (codegen/JIT and
+    # Python-worker spin-up hit the first run only — measured 29s cold vs
+    # 18s warm for the same flagship leg); interleaving across outer
+    # rounds still covers host-noise windows symmetrically.
     legs: dict = {}
     for t in range(trials):
         for cpus in (n, 4 * n):
-            res = run_leg(sf, cpus, 1)
+            res = run_leg(sf, cpus, 2, only=only)
             print(f"trial {t} local[{cpus}]: {res['times']}", flush=True)
             if cpus not in legs:
                 legs[cpus] = res
