@@ -9,6 +9,12 @@ matching scale (BASELINE.json metric: docs/sec + tiles/sec). The
 webpages parquet is materialized once (generation cost excluded; the
 bench measures the engine, not the generator).
 
+Each query is timed $SPARK_GRAFT_BENCH_TRIALS times (default 2) and the
+MIN is reported: a co-tenant on this shared host saturates the DRAM bus
+in multi-minute bursts (BENCH/BASELINE.md "shared-host honesty"), and
+min-of-trials plus the embedded ambient-bandwidth samples keep the
+artifact interpretable when a burst lands mid-run.
+
 Run tools/scaling_study.py for the N-vs-4N parallelism measurement
 recorded in BENCH/BASELINE.md.
 """
@@ -108,19 +114,40 @@ def main() -> None:
         "ann_bruteforce": run_ann,
     }
 
+    def _triad_gbps(n: int = 8_000_000) -> float:
+        # one-shot single-thread DRAM-triad sample: a co-tenant on this
+        # shared host saturates the memory bus in bursts (observed 30x
+        # degradation, BENCH/noise_log.jsonl); recording the ambient
+        # bandwidth alongside the timings makes the artifact interpretable
+        import numpy as np
+
+        a = np.random.rand(n)
+        b = np.random.rand(n)
+        c = np.empty_like(a)
+        t0 = time.perf_counter()
+        np.add(a, 2.0 * b, out=c)
+        return round((3 * 8 * n / (time.perf_counter() - t0)) / 1e9, 3)
+
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    noise_before = _triad_gbps()
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in bench_queries.items():
-        t0 = time.perf_counter()
-        rows[name] = int(fn() or 0)
-        times[name] = round(time.perf_counter() - t0, 3)
-        # drop caches each query leaves behind so later queries measure
-        # the engine, not accumulated session state; the explicit driver
-        # GC lets ContextCleaner reap shuffle files + any unreferenced
-        # blocks NOW instead of when the 16 GiB heap eventually collects
-        # (accumulated blocks pin storage memory and skew later queries)
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            rows[name] = int(fn() or 0)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # drop caches each query leaves behind so later queries measure
+            # the engine, not accumulated session state; the explicit driver
+            # GC lets ContextCleaner reap shuffle files + any unreferenced
+            # blocks NOW instead of when the 16 GiB heap eventually collects
+            # (accumulated blocks pin storage memory and skew later queries)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        times[name] = round(best, 3)
+    noise_after = _triad_gbps()
 
     total = round(sum(times.values()), 3)
     flagship = times["flagship_shoreline_ts"]
@@ -134,6 +161,9 @@ def main() -> None:
         "docs_per_sec": round(n_docs / flagship, 1) if flagship else None,
         "cpus": cpus,
         "rows": rows,
+        "trials_per_query": trials,
+        "agg": "min",
+        "ambient_dram_gbps": {"before": noise_before, "after": noise_after},
     }
     spark.stop()
     print(json.dumps(out))
