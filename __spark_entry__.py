@@ -753,19 +753,38 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint_col("text").alias("fp"))
 
 
-def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.operators.dedup import minhash_dedup_pairs
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH and SimHash near-dup pair enumeration, one result with
+    a `method` discriminator (merged so both operators keep a driver row
+    within the 50-query record cap; score = est_jaccard for minhash,
+    hamming distance for simhash)."""
+    from coastsat_spark.operators.dedup import minhash_dedup_pairs, simhash_dup_pairs
 
     d = spark.read.parquet(_t(sf_dir, "documents"))
-    out = minhash_dedup_pairs(d, threshold=0.7)
-    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    mh = minhash_dedup_pairs(d, threshold=0.7).select(
+        F.lit("minhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).alias("score"),
+    )
+    sh = simhash_dup_pairs(d, max_hamming=3).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
 
 
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.operators.dedup import simhash_dup_pairs
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-family intra-document repetition metrics (mode-word
+    fraction, distinct-word fraction, duplicate word-bigram fraction,
+    word entropy) — DuckDB-oracled; one (doc, word) exchange with
+    map-side combine, bigram stats as per-row JVM array expressions."""
+    from coastsat_spark.functions.text import repetition_stats
 
     d = spark.read.parquet(_t(sf_dir, "documents"))
-    return simhash_dup_pairs(d, max_hamming=3)
+    return repetition_stats(d)
 
 
 def q_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "embedding_dedup": q_embedding_dedup,
         "text_metrics": q_text_metrics,
+        "repetition_stats": q_repetition_stats,
         "ann_bruteforce": q_ann_bruteforce,
         # kernel / rows-only — the six queries the r2 driver run dropped
         # (registry was 56 > the ~50-row record cap) run FIRST here; the
@@ -921,8 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "fingerprints": q_fingerprints,
         "minhash_assign": q_minhash_assign,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
+        "neardup_pairs": q_neardup_pairs,
         "classify_scenes": q_classify_scenes,
         "shoreline_refined": q_shoreline_refined,
         "pansharpen_scenes": q_pansharpen,
@@ -935,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from coastsat_spark.functions.cells import encode_cell_sql
     from coastsat_spark.functions.text import langid_score_sql, quality_score_sql
+    from coastsat_spark.functions.text import repetition_stats_sql as _repetition_stats_sql
     from coastsat_spark.operators.raster import ShorelineSettings
     from coastsat_spark.operators.tiling import BANDS, bands_sql, tiles_sql
     from coastsat_spark.operators.transects import make_transects_pdf
@@ -1104,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
                    {quality_score_sql("text")} AS quality
             FROM documents
         """,
+        "repetition_stats": _repetition_stats_sql("documents"),
         "ann_bruteforce": """
             WITH n AS (
               SELECT vec_id, embedding,

@@ -376,3 +376,136 @@ def shingles(text: str, k: int = 3) -> set:
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+# ------------------------------------------------- repetition (Gopher/C4)
+
+_WORD_RE = re.compile(r"[a-z]+")
+
+
+def repetition_stats_ref(text: str) -> tuple | None:
+    """Pure-Python reference for `repetition_stats` (pytest parity only).
+
+    Gopher-style intra-document repetition signals over lowercase alpha
+    words: mode-word fraction, distinct-word fraction, duplicate word
+    2-gram fraction, and Shannon word entropy (nats, via the one-pass
+    identity H = ln(n) - sum(c*ln c)/n). Returns None for wordless docs
+    (both engines emit no row — explode/unnest semantics).
+    """
+    import collections
+    import math as _m
+
+    words = _WORD_RE.findall((text or "").lower())
+    n = len(words)
+    if n == 0:
+        return None
+    counts = collections.Counter(words)
+    bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+    nb = len(bigrams)
+    dup_bg = 0.0 if nb == 0 else 1.0 - len(set(bigrams)) / nb
+    sclnc = sum(c * _m.log(c) for c in counts.values())
+    return (
+        n,
+        round(max(counts.values()) / n, 6),
+        round(len(counts) / n, 6),
+        round(dup_bg, 6),
+        round(_m.log(n) - sclnc / n, 6),
+    )
+
+
+def repetition_stats(
+    docs: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Per-document repetition metrics (Gopher/C4 quality-filter family).
+
+    Columns: (id, n_words, top_word_frac, distinct_word_frac,
+    dup_bigram_frac, word_entropy). 100 TB shape: tokenization and the
+    bigram distinct-count are per-row JVM array expressions (no shuffle);
+    the word-frequency mode/entropy take ONE exchange keyed by
+    (doc, word) with map-side combine — cardinality is bounded by total
+    corpus words, never all-pairs. Entropy uses the one-pass identity
+    H = ln(n) - sum(c*ln c)/n so no second per-doc pass is needed.
+
+    Wordless documents emit no row (explode semantics, mirrored by the
+    DuckDB oracle's unnest).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (doc type only)
+
+    ws = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit("[a-z]+"), F.lit(0)
+    )
+    base = docs.select(F.col(id_col), ws.alias("ws")).filter(F.size("ws") > 0)
+    bg = F.expr(
+        "transform(slice(ws, 1, size(ws) - 1), (x, i) -> concat(x, ' ', element_at(ws, i + 2)))"
+    )
+    shaped = base.select(
+        id_col,
+        "ws",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.size(bg).cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).cast("bigint").alias("n_distinct_bigrams"),
+    )
+    wc = (
+        shaped.select(
+            id_col, "n_words", "n_bigrams", "n_distinct_bigrams",
+            F.explode("ws").alias("w"),
+        )
+        .groupBy(id_col, "n_words", "n_bigrams", "n_distinct_bigrams", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = wc.groupBy(id_col, "n_words", "n_bigrams", "n_distinct_bigrams").agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("top_c"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("sclnc"),
+    )
+    n = F.col("n_words").cast("double")
+    return stats.select(
+        id_col,
+        "n_words",
+        F.round(F.col("top_c") / n, 6).alias("top_word_frac"),
+        F.round(F.col("n_distinct_words") / n, 6).alias("distinct_word_frac"),
+        F.round(
+            F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams").cast("double")
+            ),
+            6,
+        ).alias("dup_bigram_frac"),
+        F.round(F.log(n) - F.col("sclnc") / n, 6).alias("word_entropy"),
+    )
+
+
+def repetition_stats_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB mirror of `repetition_stats` (oracle). Same word regex,
+    same 1-based pairing (DuckDB list lambdas index from 1, Spark
+    `transform` from 0 — both pair element i with element i+1 of the
+    original array), same one-pass entropy identity, same round-6."""
+    return f"""
+WITH base AS (
+  SELECT {id_col}, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS ws
+  FROM {table}
+), shaped AS (
+  SELECT {id_col}, ws, len(ws) AS n_words,
+         list_transform(ws[:len(ws) - 1], (x, i) -> concat(x, ' ', ws[i + 1])) AS bg
+  FROM base WHERE len(ws) > 0
+), bb AS (
+  SELECT {id_col}, n_words, len(bg) AS n_bigrams,
+         len(list_distinct(bg)) AS n_distinct_bigrams
+  FROM shaped
+), wc AS (
+  SELECT {id_col}, w, count(*) AS c
+  FROM (SELECT {id_col}, unnest(ws) AS w FROM base)
+  GROUP BY {id_col}, w
+), s AS (
+  SELECT {id_col}, count(*) AS n_distinct_words, max(c) AS top_c,
+         sum(c * ln(c)) AS sclnc, sum(c) AS n
+  FROM wc GROUP BY {id_col}
+)
+SELECT s.{id_col}, bb.n_words,
+  round(top_c / CAST(s.n AS DOUBLE), 6) AS top_word_frac,
+  round(n_distinct_words / CAST(s.n AS DOUBLE), 6) AS distinct_word_frac,
+  round(CASE WHEN n_bigrams = 0 THEN 0.0
+             ELSE 1.0 - n_distinct_bigrams / CAST(n_bigrams AS DOUBLE) END,
+        6) AS dup_bigram_frac,
+  round(ln(CAST(s.n AS DOUBLE)) - sclnc / s.n, 6) AS word_entropy
+FROM s JOIN bb ON s.{id_col} = bb.{id_col}
+"""

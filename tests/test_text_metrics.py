@@ -92,3 +92,37 @@ def test_langid_identifies_marker_languages(spark):
     out = sdf.select("want", TX.langid_col("text").alias("pred")).collect()
     for r in out:
         assert r["pred"] == r["want"]
+
+
+def test_repetition_stats_matches_python_reference(spark):
+    rows = [
+        (1, "the cat sat on the mat the cat"),
+        (2, "a a a a a a"),                       # one word repeated: entropy 0
+        (3, "all distinct words here now"),        # no repetition
+        (4, "Ab ab AB cd CD!! cd"),                # case-folding + punct
+        (5, ""),                                   # wordless -> no row
+        (6, None),                                 # null -> no row
+        (7, "solo"),                               # single word: no bigrams
+        (8, "x y x y x y x y"),                    # fully duplicated bigrams
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in TX.repetition_stats(sdf).collect()}
+    import math
+
+    for doc_id, text in rows:
+        ref = TX.repetition_stats_ref(text)
+        if ref is None:
+            assert doc_id not in got
+            continue
+        r = got[doc_id]
+        n, top, dist, dupbg, ent = ref
+        assert r["n_words"] == n
+        assert math.isclose(r["top_word_frac"], top, abs_tol=1e-9)
+        assert math.isclose(r["distinct_word_frac"], dist, abs_tol=1e-9)
+        assert math.isclose(r["dup_bigram_frac"], dupbg, abs_tol=1e-9)
+        assert math.isclose(r["word_entropy"], ent, abs_tol=1e-6)
+    # semantic spot checks
+    assert got[2]["word_entropy"] == 0.0 and got[2]["top_word_frac"] == 1.0
+    assert got[3]["distinct_word_frac"] == 1.0 and got[3]["dup_bigram_frac"] == 0.0
+    assert got[7]["dup_bigram_frac"] == 0.0
+    assert got[8]["dup_bigram_frac"] > 0.5
