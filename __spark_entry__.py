@@ -730,16 +730,37 @@ def q_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # language-ID + composite quality score as pure JVM expressions over
-    # the documents table, DuckDB-checked against the identical SQL forms
-    # (the r2 per-row Python udfs are gone — this IS the 100 TB path).
-    from coastsat_spark.functions.text import langid_col, quality_score_col
+    # language-ID + composite quality score + PII redaction as pure JVM
+    # expressions over the documents table, DuckDB-checked against the
+    # identical SQL forms (no per-row Python — this IS the 100 TB path).
+    # The documents corpus carries no PII, so a deterministic pii-bearing
+    # suffix (email + IPv4 + E.164 phone derived from doc_id) is
+    # synthesized identically in both engines; the oracle then verifies
+    # the full detect+redact regex pipeline on every row.
+    from coastsat_spark.functions.text import (
+        langid_col,
+        pii_count_col,
+        quality_score_col,
+        redact_pii_col,
+    )
 
     d = spark.read.parquet(_t(sf_dir, "documents"))
+    pii_src = F.concat(
+        F.col("text"),
+        F.lit(" contact"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com +15551234"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
     return d.select(
         "doc_id",
         langid_col("text").alias("pred_lang"),
         quality_score_col("text").alias("quality"),
+        pii_count_col(pii_src).alias("n_pii"),
+        F.length(redact_pii_col(pii_src)).cast("bigint").alias("redacted_len"),
     )
 
 
@@ -953,7 +974,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from coastsat_spark.functions.cells import encode_cell_sql
-    from coastsat_spark.functions.text import langid_score_sql, quality_score_sql
+    from coastsat_spark.functions.text import (
+        langid_score_sql,
+        pii_count_sql,
+        quality_score_sql,
+        redact_pii_sql,
+    )
     from coastsat_spark.functions.text import repetition_stats_sql as _repetition_stats_sql
     from coastsat_spark.operators.raster import ShorelineSettings
     from coastsat_spark.operators.tiling import BANDS, bands_sql, tiles_sql
@@ -1119,10 +1145,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "text_metrics": f"""
+            WITH p AS (
+              SELECT doc_id, text,
+                     text || ' contact' || CAST(doc_id AS VARCHAR)
+                          || '@example.com +15551234'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7' AS pii_src
+              FROM documents
+            )
             SELECT doc_id,
                    {langid_score_sql("text")} AS pred_lang,
-                   {quality_score_sql("text")} AS quality
-            FROM documents
+                   {quality_score_sql("text")} AS quality,
+                   CAST({pii_count_sql("pii_src")} AS BIGINT) AS n_pii,
+                   CAST(length({redact_pii_sql("pii_src")}) AS BIGINT)
+                     AS redacted_len
+            FROM p
         """,
         "repetition_stats": _repetition_stats_sql("documents"),
         "ann_bruteforce": """

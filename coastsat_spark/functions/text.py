@@ -509,3 +509,71 @@ SELECT s.{id_col}, bb.n_words,
   round(ln(CAST(s.n AS DOUBLE)) - sclnc / s.n, 6) AS word_entropy
 FROM s JOIN bb ON s.{id_col} = bb.{id_col}
 """
+
+
+# ----------------------------------------------------------- PII redaction
+
+# Order matters: emails are matched before phones/IPs so their digit runs
+# are consumed first; the patterns are valid in BOTH Java regex (Spark)
+# and RE2 (DuckDB) — ASCII \d semantics agree, no lookarounds.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d()-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii_ref(text: str) -> str:
+    """Pure-Python reference for `redact_pii_col` (pytest parity)."""
+    out = text or ""
+    for _, pat, repl in PII_PATTERNS:
+        out = re.sub(pat, repl, out)
+    return out
+
+
+def pii_count_ref(text: str) -> int:
+    n, t = 0, text or ""
+    for _, pat, _repl in PII_PATTERNS:
+        n += len(re.findall(pat, t))
+        t = re.sub(pat, "", t)  # sequential: earlier kinds consume their text
+    return n
+
+
+def redact_pii_col(text_col) -> "F.Column":
+    """Replace emails / IPv4s / phone numbers with typed placeholders —
+    a chain of JVM regexp_replace calls (whole-stage codegen, no Python).
+    The corpus-scale redaction pass a training-data pipeline runs before
+    publishing text."""
+    col = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
+    for _, pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def pii_count_col(text_col) -> "F.Column":
+    """Count of PII matches (sequential semantics identical to
+    `pii_count_ref`: each kind counts on text already stripped of earlier
+    kinds, so an email's digits never double-count as a phone)."""
+    col = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
+    total = F.lit(0)
+    for _, pat, _repl in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        col = F.regexp_replace(col, pat, "")
+    return total.cast("bigint")
+
+
+def redact_pii_sql(text_expr: str) -> str:
+    """DuckDB mirror of redact_pii_col ('g' flag: replace ALL matches)."""
+    out = f"coalesce({text_expr}, '')"
+    for _, pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def pii_count_sql(text_expr: str) -> str:
+    col = f"coalesce({text_expr}, '')"
+    parts = []
+    for _, pat, _repl in PII_PATTERNS:
+        parts.append(f"len(regexp_extract_all({col}, '{pat}'))")
+        col = f"regexp_replace({col}, '{pat}', '', 'g')"
+    return "(" + " + ".join(parts) + ")"

@@ -126,3 +126,34 @@ def test_repetition_stats_matches_python_reference(spark):
     assert got[3]["distinct_word_frac"] == 1.0 and got[3]["dup_bigram_frac"] == 0.0
     assert got[7]["dup_bigram_frac"] == 0.0
     assert got[8]["dup_bigram_frac"] > 0.5
+
+
+def test_pii_redaction_matches_python_reference(spark):
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk today"),
+        (2, "server at 192.168.0.1 and 10.255.255.255 up"),
+        (3, "call +15551234567 or (555)1234567 now"),
+        (4, "combo a@b.io 1.2.3.4 +4915712345678 end"),
+        (5, "no pii here at all"),
+        (6, ""),
+        (7, None),
+        (8, "not-an-ip 999.1 half@ @half 12-34"),
+        (9, "email-digits x9@y.de then 12345678901 bare"),
+    ]
+    sdf = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r["i"]: (r["red"], r["n"])
+        for r in sdf.select(
+            "i",
+            TX.redact_pii_col("t").alias("red"),
+            TX.pii_count_col("t").alias("n"),
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i][0] == TX.redact_pii_ref(t), (i, got[i][0])
+        assert got[i][1] == TX.pii_count_ref(t), (i, got[i][1])
+    # semantic checks: every kind found, placeholders present
+    assert got[4][1] == 3 and "<EMAIL>" in got[4][0]
+    assert "<IP>" in got[4][0] and "<PHONE>" in got[4][0]
+    assert got[5] == ("no pii here at all", 0)
+    assert got[7] == ("", 0)
