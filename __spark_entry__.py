@@ -865,22 +865,34 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "rank", "c_id", F.round("cosine", 4).alias("cosine"))
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.operators.similarity import cosine_topk_lsh
+def q_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three approximate-ANN scale paths in one driver row (method
+    column): sign-LSH multi-table bucketing, IVF centroid-probe, and
+    PQ/ADC with exact candidate rerank — each returns per-query top-5
+    with an exact cosine on the surviving candidates, so rows are
+    deterministic and comparable across methods."""
+    from coastsat_spark.operators.similarity import (
+        cosine_topk_lsh,
+        ivf_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 20)
-    out = cosine_topk_lsh(q, emb, k=5, n_bits=6, n_tables=12)
-    return out.select("q_id", "rank", "c_id", F.round("cosine", 4).alias("cosine"))
-
-
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.operators.similarity import ivf_topk
-
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < 20)
-    out = ivf_topk(q, emb, k=5)
-    return out.select("q_id", "rank", "c_id", F.round("cosine", 4).alias("cosine"))
+    lsh = cosine_topk_lsh(q, emb, k=5, n_bits=6, n_tables=12)
+    ivf = ivf_topk(q, emb, k=5)
+    books = pq_codebooks(emb, m=8, n_codes=64)
+    pq = pq_topk(q, pq_encode(emb, books), books, k=5, rerank=emb)
+    sel = lambda df, name: df.select(  # noqa: E731
+        F.lit(name).alias("method"),
+        "q_id",
+        "rank",
+        "c_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+    return sel(lsh, "lsh").unionByName(sel(ivf, "ivf")).unionByName(sel(pq, "pq"))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,8 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (registry was 56 > the ~50-row record cap) run FIRST here; the
         # registry is consolidated back to exactly 50 entries
         "slope_estimation": q_slope_estimation,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
+        "ann_approx": q_ann_approx,
         "multimodal_features": q_multimodal_features,
         "fingerprints": q_fingerprints,
         "minhash_assign": q_minhash_assign,

@@ -138,3 +138,46 @@ def test_ivf_plan_no_corpus_explosion(spark, clustered):
     # "Window [" is the exec node; WindowGroupLimit (rank pushdown) is fine
     assert len(re.findall(r"\bWindow \[", plan)) == 1, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pq_adc_recall_and_exactness(spark, clustered):
+    """PQ/ADC search: (a) recall@10 vs exact cosine is high on clustered
+    data, (b) ADC distance of the true code is the numpy-computed one,
+    (c) the plan stays local-top-k + one final window (no all-pairs
+    shuffle), (d) encode is deterministic."""
+    vecs, sdf = clustered
+    q = sdf.filter("vec_id < 10")
+    books = similarity.pq_codebooks(sdf, m=8, n_codes=32, sample_cap=400, n_iters=10)
+    assert books.shape == (8, 32, 4)
+    codes = similarity.pq_encode(sdf, books)
+    # deterministic encode
+    c1 = codes.toPandas().set_index("c_id")["codes"].map(tuple).to_dict()
+    c2 = similarity.pq_encode(sdf, books).toPandas().set_index("c_id")["codes"].map(tuple).to_dict()
+    assert c1 == c2
+    got = similarity.pq_topk(q, codes, books, k=10).toPandas()
+    rr = similarity.pq_topk(q, codes, books, k=10, rerank=sdf).toPandas()
+    exact = similarity.cosine_topk_bruteforce(q, sdf, k=10).toPandas()
+    hits = rr_hits = 0
+    for qid in range(10):
+        g = set(got[got.q_id == qid]["c_id"])
+        r = set(rr[rr.q_id == qid]["c_id"])
+        e = set(exact[exact.q_id == qid]["c_id"])
+        assert len(g) == 10 and len(r) == 10 and len(e) == 10
+        hits += len(g & e)
+        rr_hits += len(r & e)
+    assert hits / 100 >= 0.4, f"raw ADC recall@10 too low: {hits/100}"
+    assert rr_hits / 100 >= 0.85, f"reranked recall@10 too low: {rr_hits/100}"
+    # ADC value parity: recompute one (q, c) adist in numpy
+    r = got.iloc[0]
+    Q = vecs[int(r.q_id)].astype(np.float64)
+    Q /= np.linalg.norm(Q)
+    cvec = np.asarray(c1[int(r.c_id)])
+    rec = np.concatenate([books[j, cvec[j]] for j in range(8)])
+    want = round(float(((Q - rec) ** 2).sum()), 6)
+    assert abs(r.adist - want) < 1e-6
+    # plan: exactly one Window (final rank), no cartesian/nested-loop
+    import re
+
+    plan = similarity.pq_topk(q, codes, books, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bWindow \[", plan)) == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
