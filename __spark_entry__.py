@@ -193,6 +193,16 @@ def q_argmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table (30-min gap):
+    one user-keyed shuffle + lag/running-sum windows + hash aggregate,
+    all JVM; DuckDB-oracled via exact int64-microsecond comparisons."""
+    from coastsat_spark.operators.timeseries import sessionize
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return sessionize(ev, gap_seconds=1800.0)
+
+
 def q_dedup_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # W1: close-timestamp session dedup keep-best
     from coastsat_spark.operators.timeseries import dedup_close_timestamps
@@ -938,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "argmax_mode": q_argmax_mode,
         "dedup_sessions": q_dedup_sessions,
+        "sessionize": q_sessionize,
         "timestep_hist": q_timestep_hist,
         "seasonal_avg": q_seasonal_avg,
         "monthly_avg": q_monthly_avg,
@@ -992,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         redact_pii_sql,
     )
     from coastsat_spark.functions.text import repetition_stats_sql as _repetition_stats_sql
+    from coastsat_spark.operators.timeseries import sessionize_sql as _sessionize_sql
     from coastsat_spark.operators.raster import ShorelineSettings
     from coastsat_spark.operators.tiling import BANDS, bands_sql, tiles_sql
     from coastsat_spark.operators.transects import make_transects_pdf
@@ -1265,6 +1277,7 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY count(*) DESC, o_orderpriority) AS rn
                 FROM orders GROUP BY o_orderstatus, o_orderpriority) WHERE rn = 1
         """,
+        "sessionize": _sessionize_sql("events", gap_seconds=1800.0),
         "dedup_sessions": """
             WITH d AS (
               SELECT user_id, event_id, ts, value,

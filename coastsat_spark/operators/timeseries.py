@@ -443,3 +443,84 @@ def same_day_mode_dedup(
         .filter((F.col("_nz") == 1) | (F.col("_rn") <= cap))
     )
     return out.drop("_mode", "_nz", "_rn")
+
+
+# ------------------------------------------------------------ sessionize
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreaker: str = "event_id",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts whenever the time
+    since the user's previous event exceeds `gap_seconds`.
+
+    The classic web-analytics operator (the generalization of the
+    reference's same-day grouping, SDS_tools.get_closest_datapoint
+    family): one shuffle keyed by user, then two window passes (lag +
+    running sum) and a hash aggregate — all JVM. Timestamps compare as
+    exact int64 microseconds (`unix_micros`), so engine and oracle agree
+    bit-for-bit; ordering ties break on `order_tiebreaker`.
+
+    Returns one row per (user, session): n_events, start/end timestamps,
+    duration_s, total_value.
+    """
+    # parquet timestamps read as TIMESTAMP_NTZ; the session TZ is pinned
+    # UTC, so the cast to (ltz) timestamp is offset-free and unix_micros
+    # yields the same int64 micros DuckDB's epoch_us computes
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(order_tiebreaker).asc())
+    gap_us = int(round(gap_seconds * 1_000_000))
+    new_sess = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+    ).otherwise(0)
+    sess = events.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        F.round(
+            (F.max(us) - F.min(us)).cast("double") / F.lit(1_000_000.0), 6
+        ).alias("duration_s"),
+    ]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 6).alias("total_value"))
+    return sess.groupBy(user_col, "session_id").agg(*aggs)
+
+
+def sessionize_sql(
+    table: str = "events",
+    gap_seconds: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreaker: str = "event_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB mirror of `sessionize` (oracle): epoch_us = unix_micros."""
+    gap_us = int(round(gap_seconds * 1_000_000))
+    return f"""
+WITH g AS (
+  SELECT {user_col}, {ts_col}, {order_tiebreaker}, {value_col},
+         epoch_us({ts_col}) AS us,
+         CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
+                   OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM {table}
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col} ASC, {order_tiebreaker} ASC)
+), s AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY {user_col} ORDER BY {ts_col} ASC,
+            {order_tiebreaker} ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT {user_col}, session_id, count(*) AS n_events,
+       min({ts_col}) AS start_ts, max({ts_col}) AS end_ts,
+       round(CAST(max(us) - min(us) AS DOUBLE) / 1000000.0, 6) AS duration_s,
+       round(sum({value_col}), 6) AS total_value
+FROM s GROUP BY {user_col}, session_id
+"""

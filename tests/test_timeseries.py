@@ -210,3 +210,34 @@ def test_same_day_mode_dedup(spark):
     # site B: all three kept despite same day (single zone -> passthrough)
     assert {7, 8, 9} <= kept
     assert len(kept) == 7
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime as DT
+
+    from coastsat_spark.operators.timeseries import sessionize
+
+    rows = [
+        # user 1: three events 10 min apart -> one session
+        (1, DT(2024, 1, 1, 0, 0, 0), 1, 1.0),
+        (2, DT(2024, 1, 1, 0, 10, 0), 1, 2.0),
+        (3, DT(2024, 1, 1, 0, 20, 0), 1, 3.0),
+        # gap of exactly 1800s -> SAME session (break requires > gap)
+        (4, DT(2024, 1, 1, 0, 50, 0), 1, 4.0),
+        # gap of 1800.000001s -> new session
+        (5, DT(2024, 1, 1, 1, 20, 0, 1), 1, 5.0),
+        # user 2: single event -> singleton session, duration 0
+        (6, DT(2024, 1, 1, 9, 0, 0), 2, 7.5),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = {
+        (r["user_id"], r["session_id"]): r
+        for r in sessionize(ev, gap_seconds=1800.0).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11 = out[(1, 1)]
+    assert s11["n_events"] == 4 and s11["total_value"] == 10.0
+    assert s11["duration_s"] == 3000.0
+    s12 = out[(1, 2)]
+    assert s12["n_events"] == 1 and s12["duration_s"] == 0.0
+    assert out[(2, 1)]["n_events"] == 1 and out[(2, 1)]["total_value"] == 7.5
