@@ -82,3 +82,41 @@ def streaming_tile_stats(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked session-window aggregate — the streaming analog of
+    `timeseries.sessionize` using Spark's native `session_window`
+    (dynamic-gap merge inside the state store; append-mode safe: a
+    session finalizes once the watermark passes its close).
+
+    Works on a batch DataFrame too (session_window is a grouping
+    expression), which is how the parity test pins it to the batch
+    operator's output.
+    """
+    # parquet timestamps read as TIMESTAMP_NTZ; event-time watermarks
+    # need TimestampType — the UTC session TZ makes the cast offset-free
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    sw = F.session_window(F.col(ts_col), gap)
+    agg = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        agg.groupBy(sw.alias("w"), user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
