@@ -70,3 +70,20 @@ def test_no_python_eval_on_jvm_parse_path(spark, web):
     plan = _plan(prepared.select("tile", "green"))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "[codegen id" in plan  # whole-stage codegen spans the band math
+
+
+def test_sessionize_single_exchange(spark):
+    """Sessionization over a user-keyed table must shuffle exactly once:
+    the lag window, the running-sum window AND the (user, session)
+    aggregate all reuse the hashpartitioning(user_id) distribution (a
+    subset of the grouping keys satisfies ClusteredDistribution)."""
+    import re
+
+    from coastsat_spark.operators.timeseries import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(sessionize(ev))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:3000]
+    assert "hashpartitioning(user_id" in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
