@@ -189,3 +189,78 @@ def polygons_df(spark, paths: list[str]) -> "DataFrame":
         ring = (polygon_from_kml(p) if p.lower().endswith(".kml") else polygon_from_geojson(p))[0]
         rows.append((i, os.path.basename(p), [[float(x), float(y)] for x, y in ring]))
     return spark.createDataFrame(rows, "polygon_id int, source string, ring array<array<double>>")
+
+
+# ------------------------------------------------- small-file compaction
+
+def partition_file_stats(path: str, partition_col: str) -> dict[str, tuple[int, int]]:
+    """{partition_value: (n_files, total_bytes)} for a hive-layout parquet
+    table — driver-side directory metadata only (no data read)."""
+    stats: dict[str, tuple[int, int]] = {}
+    prefix = f"{partition_col}="
+    for entry in os.listdir(path):
+        if not entry.startswith(prefix):
+            continue
+        pdir = os.path.join(path, entry)
+        files = [
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        ]
+        stats[entry[len(prefix):]] = (
+            len(files),
+            sum(os.path.getsize(f) for f in files),
+        )
+    return stats
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str = "warc_month",
+    target_mb: int = 128,
+) -> dict[str, int]:
+    """Bin-pack each hive partition of a parquet table into
+    ceil(bytes / target_mb) files — the maintenance operator that keeps a
+    continuously-ingested table scannable (per-file open/footer/listing
+    overhead dominates once files shrink below a few MB; at 100 TB the
+    same rule holds with 128 MB-1 GB targets, and this is what Iceberg's
+    rewrite_data_files action does).
+
+    One shuffle keyed by (partition, salt) where salt < the partition's
+    target file count (literal map expression, so skewed partitions get
+    more files). The rewrite stages into a sibling directory and swaps it
+    in whole — a file-based source cannot overwrite the path it is
+    reading, and the stage+swap is exactly the shape Iceberg's
+    rewrite_data_files commits via a metadata pointer (atomic there; a
+    plain directory rename here). Returns the planned
+    {partition_value: n_files} map.
+    """
+    import shutil
+
+    stats = partition_file_stats(path, partition_col)
+    target = max(1, target_mb) * 1024 * 1024
+    plan = {
+        pv: max(1, -(-size // target)) for pv, (_n, size) in stats.items()
+    }
+    df = spark.read.parquet(path)
+    nf = F.create_map(
+        *[x for pv, n in sorted(plan.items()) for x in (F.lit(pv), F.lit(int(n)))]
+    )
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), nf[F.col(partition_col)]),
+    )
+    tmp = path.rstrip("/") + ".compacting"
+    (
+        salted.repartition(F.col(partition_col), F.col("_salt"))
+        .drop("_salt")
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + ".precompact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {pv: int(n) for pv, n in plan.items()}

@@ -189,3 +189,36 @@ def test_polygon_readers(spark, tmp_path):
 
     df = sinks.polygons_df(spark, [gj_path, kml_path]).toPandas()
     assert len(df) == 2 and all(len(r) == 5 for r in df["ring"])
+
+
+def test_compact_partitions_preserves_rows_and_cuts_files(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from coastsat_spark.operators import sinks
+
+    # build a deliberately fragmented table: 8 producer partitions x
+    # every month -> ~8 files per month dir
+    src = str(tmp_path / "frag")
+    df = (
+        spark.range(0, 20000, 1, 8)
+        .withColumn("m", F.concat(F.lit("2024-"), F.lpad((F.col("id") % 12 + 1).cast("string"), 2, "0")))
+        .withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+    )
+    df.write.partitionBy("m").parquet(src)
+    before = sinks.partition_file_stats(src, "m")
+    assert sum(n for n, _ in before.values()) >= 8 * 12
+    rows_before = spark.read.parquet(src).toPandas()
+
+    plan = sinks.compact_partitions(spark, src, partition_col="m", target_mb=128)
+    assert set(plan) == set(before) and all(n == 1 for n in plan.values())
+    after = sinks.partition_file_stats(src, "m")
+    assert sum(n for n, _ in after.values()) == 12  # one file per month
+    assert not os.path.exists(src + ".compacting")
+    rows_after = spark.read.parquet(src).toPandas()
+    key = ["id"]
+    a = rows_before.sort_values(key).reset_index(drop=True)
+    b = rows_after.sort_values(key).reset_index(drop=True)
+    assert a[["id", "payload"]].equals(b[["id", "payload"]])
+    assert sorted(a["m"]) == sorted(b["m"])
