@@ -346,12 +346,23 @@ def q_validation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S5/EP1: deterministic lat/lon -> quad-cell id at res 6 -> counts
-    from coastsat_spark.functions.cells import encode_cell_sql
+    # S5/EP1 + north-star skew defense: deterministic lat/lon ->
+    # ADAPTIVE quad-cell assignment (hot tiles with > cap docs re-key a
+    # resolution finer, up to 2 extra levels) -> per-tile counts. The
+    # DuckDB oracle replays the identical peel-off chain, so both the
+    # base cell arithmetic and the split logic are hash-checked.
+    from coastsat_spark.operators.tiling import adaptive_tiles
 
     d = spark.read.parquet(_t(sf_dir, "documents"))
-    cell = F.expr(encode_cell_sql(_LAT_SQL, _LON_SQL, 6))
-    return d.select(cell.alias("cell")).groupBy("cell").agg(F.count(F.lit(1)).alias("n_docs"))
+    at = adaptive_tiles(
+        d,
+        lat=F.expr(_LAT_SQL),
+        lon=F.expr(_LON_SQL),
+        base_res=2,
+        cap=20,
+        max_levels=2,
+    )
+    return at.groupBy("atile").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 _PIP_POLY = [(-30.0, -10.0), (10.0, -25.0), (40.0, 5.0), (0.0, 20.0)]  # convex, ccw
@@ -1004,6 +1015,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from coastsat_spark.functions.text import repetition_stats_sql as _repetition_stats_sql
     from coastsat_spark.operators.timeseries import sessionize_sql as _sessionize_sql
+    from coastsat_spark.operators.tiling import (
+        adaptive_tile_counts_sql as _adaptive_tile_counts_sql,
+    )
     from coastsat_spark.operators.raster import ShorelineSettings
     from coastsat_spark.operators.tiling import BANDS, bands_sql, tiles_sql
     from coastsat_spark.operators.transects import make_transects_pdf
@@ -1412,10 +1426,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, bkt, x0, y0, x1, y1 FROM boxes
             WHERE id NOT IN (SELECT id FROM contained)
         """,
-        "cell_assign": f"""
-            SELECT {encode_cell_sql(_LAT_SQL, _LON_SQL, 6)} AS cell, count(*) AS n_docs
-            FROM documents GROUP BY 1
-        """,
+        "cell_assign": _adaptive_tile_counts_sql(
+            _LAT_SQL, _LON_SQL, "documents", base_res=2, cap=20, max_levels=2
+        ),
         "pip_join": f"""
             SELECT lang,
                    CAST(sum(CASE WHEN {pip_sql} THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,

@@ -149,12 +149,18 @@ def cell_parent(cell: Column, steps: int = 1) -> Column:
 
 
 def encode_cell_sql(lat_expr: str, lon_expr: str, res: int) -> str:
-    """The same encode as ANSI SQL text — used to build DuckDB oracles."""
+    """The same encode as ANSI SQL text — used to build DuckDB oracles.
+
+    The interpolated expressions are parenthesized: a compound lat like
+    ``x - 85.0`` must read ``90.0 - (x - 85.0)``, not ``90.0 - x - 85.0``
+    (this bit: the r1-r2 cell_assign oracle used the unwrapped string on
+    BOTH engines, so the hash still matched; the adaptive-tile rewrite
+    parses the expression Spark-side and exposed the divergence)."""
     n = 1 << res
     x = (
-        f"least(greatest(cast(floor(({lon_expr} + 180.0) / 360.0 * {n}) as bigint), 0), {n - 1})"
+        f"least(greatest(cast(floor((({lon_expr}) + 180.0) / 360.0 * {n}) as bigint), 0), {n - 1})"
     )
     y = (
-        f"least(greatest(cast(floor((90.0 - {lat_expr}) / 180.0 * {n}) as bigint), 0), {n - 1})"
+        f"least(greatest(cast(floor((90.0 - ({lat_expr})) / 180.0 * {n}) as bigint), 0), {n - 1})"
     )
     return f"(cast({res} as bigint) * {1 << R_BITS} + {x} * {1 << X_BITS} + {y})"

@@ -222,3 +222,88 @@ def np_bands(lat: np.ndarray, lon: np.ndarray) -> dict[str, np.ndarray]:
         v = base + water * wd + noise(p, q) * (2.0 * amp)
         out[b] = np.where(cloud, 250.0, v)
     return out
+
+
+# ---------------------------------------------------- adaptive tile split
+
+def adaptive_tiles(
+    docs: DataFrame,
+    lat: "F.Column | str" = "lat",
+    lon: "F.Column | str" = "lon",
+    base_res: int = cells.TILE_RES,
+    cap: int = 100_000,
+    max_levels: int = 2,
+) -> DataFrame:
+    """Adaptive tile splitting (north-star skew defense): every row gets
+    an `atile` cell id at `base_res`, except rows in HOT tiles (count >
+    cap), which re-key one resolution finer — repeated up to `max_levels`
+    times, so a coastal-dense tile fans out into 4^levels subtiles while
+    empty ocean stays coarse.
+
+    Shape per level: one map-side-combined count aggregate whose key
+    cardinality is the number of occupied tiles (bounded by 4^res, tiny
+    next to the corpus), a broadcast anti-join to peel off the cold rows
+    and a broadcast join to keep the hot ones. The docs scan repeats once
+    per level (levels <= 3 by design); no shuffle is ever keyed by the
+    skewed raw tile alone. Quad-tree parentage is exact by construction:
+    floor at res r+1 right-shifted once IS floor at res r, clips
+    included, so every subtile nests inside the hot tile it split from.
+    """
+    la = F.col(lat) if isinstance(lat, str) else lat
+    lo = F.col(lon) if isinstance(lon, str) else lon
+    work = docs.withColumn("_ac", cells.encode_cell(la, lo, base_res))
+    done: list[DataFrame] = []
+    for lvl in range(max_levels):
+        counts = work.groupBy("_ac").agg(F.count(F.lit(1)).alias("_n"))
+        hot = counts.filter(F.col("_n") > cap).select("_ac")
+        done.append(work.join(F.broadcast(hot), "_ac", "left_anti"))
+        work = work.join(F.broadcast(hot), "_ac").withColumn(
+            "_ac", cells.encode_cell(la, lo, base_res + lvl + 1)
+        )
+    done.append(work)
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out.withColumnRenamed("_ac", "atile")
+
+
+def adaptive_tile_counts_sql(
+    lat_expr: str,
+    lon_expr: str,
+    table: str,
+    base_res: int,
+    cap: int,
+    max_levels: int = 2,
+) -> str:
+    """DuckDB mirror of counting docs per adaptive tile (oracle): the
+    same peel-off chain as `adaptive_tiles`, written as one CTE per
+    level. Must stay in lockstep with the operator's semantics."""
+    cs = [
+        cells.encode_cell_sql(lat_expr, lon_expr, base_res + l)
+        for l in range(max_levels + 1)
+    ]
+    parts = [
+        "WITH d AS (SELECT "
+        + ", ".join(f"{c} AS c{i}" for i, c in enumerate(cs))
+        + f" FROM {table})"
+    ]
+    prev = "d"
+    selects = []
+    for l in range(max_levels):
+        parts.append(
+            f", n{l} AS (SELECT c{l}, count(*) AS n FROM {prev} GROUP BY c{l})"
+        )
+        parts.append(
+            f", h{l} AS (SELECT c{l} FROM n{l} WHERE n > {cap})"
+        )
+        parts.append(
+            f", d{l + 1} AS (SELECT {prev}.* FROM {prev} JOIN h{l} USING (c{l}))"
+        )
+        selects.append(
+            f"SELECT c{l} AS atile, n AS n_docs FROM n{l} WHERE n <= {cap}"
+        )
+        prev = f"d{l + 1}"
+    selects.append(
+        f"SELECT c{max_levels} AS atile, count(*) AS n_docs FROM {prev} GROUP BY c{max_levels}"
+    )
+    return "".join(parts) + " " + " UNION ALL ".join(selects)

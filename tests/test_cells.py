@@ -100,3 +100,45 @@ def test_spark_parent_matches_numpy(spark):
         .to_numpy()
     )
     assert (got == cells.np_encode(lat, lon, 8)).all()
+
+
+def test_adaptive_tiles_split_semantics(spark):
+    """North-star skew defense: hot tiles re-key finer, cold tiles stay
+    coarse, rows are preserved, and every subtile nests in the hot
+    parent it split from."""
+    from pyspark.sql import functions as F
+
+    from coastsat_spark.datagen import ensure_webpages
+    from coastsat_spark.operators.tiling import adaptive_tiles
+
+    docs = spark.read.parquet(ensure_webpages(spark, 0.001))
+    from coastsat_spark.operators.tiling import with_geo
+
+    geo = with_geo(docs).select("url", "lat", "lon")
+    base_res, cap, levels = 4, 120, 2
+    out = adaptive_tiles(geo, base_res=base_res, cap=cap, max_levels=levels)
+    assert out.count() == geo.count()  # no row lost or duplicated
+
+    counts = out.groupBy("atile").count().toPandas()
+    res = counts["atile"].to_numpy() >> 58
+    assert set(res) >= {base_res, base_res + 1}  # Zipf skew actually split
+    # every tile above cap must be at max depth (can't split further)
+    over = counts[counts["count"] > cap]
+    assert (over["atile"].to_numpy() >> 58 == base_res + levels).all()
+
+    # cold base tiles match the plain base-res assignment exactly
+    plain = (
+        geo.select(cells.encode_cell(F.col("lat"), F.col("lon"), base_res).alias("c"))
+        .groupBy("c").count().toPandas()
+    )
+    plain_cold = plain[plain["count"] <= cap]
+    got_base = counts[res == base_res].set_index("atile")["count"]
+    assert got_base.to_dict() == plain_cold.set_index("c")["count"].to_dict()
+
+    # nesting: every finer tile's ancestor at base res was hot
+    hot = set(plain[plain["count"] > cap]["c"])
+    finer = counts[res > base_res]["atile"].to_numpy()
+    anc = finer.copy()
+    for a in finer:
+        steps = int(a >> 58) - base_res
+        assert int(cells.np_parent(np.asarray([a]), steps)[0]) in hot
