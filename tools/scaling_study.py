@@ -129,8 +129,14 @@ def main() -> None:
         "trials": trials,
         "times_N": small["times"],
         "times_4N": big["times"],
-        "docs_per_sec_flagship_N": round(big["n_docs"] / small["times"]["flagship"], 1),
-        "docs_per_sec_flagship_4N": round(big["n_docs"] / big["times"]["flagship"], 1),
+        **(
+            {
+                "docs_per_sec_flagship_N": round(big["n_docs"] / small["times"]["flagship"], 1),
+                "docs_per_sec_flagship_4N": round(big["n_docs"] / big["times"]["flagship"], 1),
+            }
+            if "flagship" in small["times"]
+            else {}
+        ),
         "efficiency_per_query": eff,
         "efficiency_total": round((t_n / t_4n) / 4.0, 3),
     }
