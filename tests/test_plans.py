@@ -87,3 +87,16 @@ def test_sessionize_single_exchange(spark):
     assert "hashpartitioning(user_id" in plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_adaptive_tiles_broadcast_only(spark, web):
+    """The split chain must never sort-merge-join on the skewed tile key:
+    hot-set membership is broadcast (the hot list is bounded by occupied
+    tile count), and the only exchanges are for the per-level count
+    aggregates."""
+    from coastsat_spark.operators.tiling import adaptive_tiles, with_geo
+
+    geo = with_geo(web).select("url", "lat", "lon")
+    plan = _plan(adaptive_tiles(geo, base_res=4, cap=100, max_levels=2))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
