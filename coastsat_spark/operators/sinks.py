@@ -264,3 +264,31 @@ def compact_partitions(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return {pv: int(n) for pv, n in plan.items()}
+
+
+# --------------------------------------------------- bucketed tables
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed (optionally sorted) parquet table.
+
+    Bucketing pre-shuffles ONCE at write time: any later equi-join or
+    aggregate keyed on `bucket_col` between tables with the same bucket
+    count plans with ZERO exchanges on the bucketed sides (asserted in
+    tests/test_plans.py) — the 100 TB pattern for repeatedly-joined fact
+    tables (dedup assignments, per-doc metrics) where one shuffle is
+    amortized over every downstream query. Requires the session catalog
+    (bucket metadata lives there, exactly like Iceberg/Hive bucketing).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

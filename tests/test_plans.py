@@ -100,3 +100,33 @@ def test_adaptive_tiles_broadcast_only(spark, web):
     plan = _plan(adaptive_tiles(geo, base_res=4, cap=100, max_levels=2))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """write_bucketed amortizes the shuffle at write time: a self-join of
+    two tables bucketed on the same key plans with zero Exchange nodes."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from coastsat_spark.operators.sinks import write_bucketed
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    try:
+        write_bucketed(
+            d.select("doc_id", "text"), "bkt_docs", "doc_id", 8,
+            sort_col="doc_id", path=str(tmp_path / "bkt_docs"),
+        )
+        write_bucketed(
+            d.select("doc_id", "lang"), "bkt_langs", "doc_id", 8,
+            sort_col="doc_id", path=str(tmp_path / "bkt_langs"),
+        )
+        j = spark.table("bkt_docs").join(spark.table("bkt_langs"), "doc_id").select(
+            "doc_id", F.length("text").alias("n"), "lang"
+        )
+        plan = _plan(j)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:3000]
+        assert j.count() == d.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_docs")
+        spark.sql("DROP TABLE IF EXISTS bkt_langs")
