@@ -164,3 +164,44 @@ def encode_cell_sql(lat_expr: str, lon_expr: str, res: int) -> str:
         f"least(greatest(cast(floor((90.0 - ({lat_expr})) / 180.0 * {n}) as bigint), 0), {n - 1})"
     )
     return f"(cast({res} as bigint) * {1 << R_BITS} + {x} * {1 << X_BITS} + {y})"
+
+
+# ------------------------------------------------------------- z-order
+
+def np_z_index(x, y) -> np.ndarray:
+    """Morton/Z-order interleave of two <=29-bit coords (numpy, no loop
+    over rows): classic bit-spreading via shift-or-mask passes."""
+    def spread(v):
+        v = np.asarray(v, dtype=np.uint64)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+
+    return (spread(x) | (spread(y) << np.uint64(1))).astype(np.int64)
+
+
+def z_order_col(lat: Column, lon: Column, res: int) -> Column:
+    """Z-order (Morton) index at `res` as a pure column expression — the
+    table-layout key for spatial data skipping: sorting a write by this
+    column clusters spatially-near rows into the same parquet row groups,
+    so min/max statistics prune 2-D bounding-box predicates (what Delta's
+    OPTIMIZE ZORDER BY and Iceberg's sort orders do). The interleave is
+    the same shift-or-mask ladder as `np_z_index`, expressed with
+    shiftleft/bitwise ops inside whole-stage codegen."""
+    x, y = xy_cols(lat, lon, res)
+
+    def spread(v: Column) -> Column:
+        for sh, mask in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            v = F.shiftleft(v, sh).bitwiseOR(v).bitwiseAND(F.lit(mask))
+        return v
+
+    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))

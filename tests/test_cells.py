@@ -142,3 +142,31 @@ def test_adaptive_tiles_split_semantics(spark):
     for a in finer:
         steps = int(a >> 58) - base_res
         assert int(cells.np_parent(np.asarray([a]), steps)[0]) in hot
+
+
+def test_z_order_spark_matches_numpy_and_nests(spark):
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-90, 90, 500)
+    lon = rng.uniform(-180, 180, 500)
+    res = 12
+    x, y = cells.np_xy(lat, lon, res)
+    want = cells.np_z_index(x, y)
+    import pandas as pd
+
+    sdf = spark.createDataFrame(pd.DataFrame({"i": range(500), "lat": lat, "lon": lon}))
+    got = (
+        sdf.select("i", cells.z_order_col(F.col("lat"), F.col("lon"), res).alias("z"))
+        .toPandas().sort_values("i")["z"].to_numpy()
+    )
+    assert (got == want).all()
+    # quadtree nesting: z at res-1 is z at res shifted right two bits
+    xp, yp = cells.np_xy(lat, lon, res - 1)
+    assert (cells.np_z_index(xp, yp) == (want >> 2)).all()
+    # locality: sorting by z and chunking into "row groups" bounds each
+    # chunk's lat/lon spread far tighter than a random order would
+    order = np.argsort(want, kind="stable")
+    spans = []
+    for c in range(0, 500, 50):
+        idx = order[c : c + 50]
+        spans.append((lon[idx].max() - lon[idx].min()) + (lat[idx].max() - lat[idx].min()))
+    assert np.median(spans) < 0.5 * (360.0 + 180.0)
