@@ -719,10 +719,37 @@ def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_qc_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.plans import pipeline
+    # J2/A2: the QC-variant transect join (no bearing predicate) + the
+    # full nan/max/auto policy cascade (multiple_inter='auto' exercises
+    # the per-transect prc_over window too), over the same derived point
+    # table the transect_intersections oracle replays — the whole cascade
+    # is relational, so DuckDB value-hash-checks it end to end
+    # (SDS_transects.py:318-381).
+    from coastsat_spark.operators import transects as TR
 
-    docs = _webpages(spark, sf_dir)
-    return pipeline.run_flagship(spark, docs, qc=True).timeseries
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    pts = d.select(
+        "doc_id",
+        F.expr(_CLAT_SQL).alias("lat"),
+        F.expr(_CLON_SQL).alias("lon"),
+        (F.col("doc_id") % 2).alias("scene"),
+    )
+    pairs = TR.transect_join(
+        pts, TR.transects_df(spark, 41),
+        along_dist=_TI_ALONG, max_dist_origin=_TI_MAXD, use_bearing=False,
+    )
+    qc = TR.qc_intersections(
+        pairs, n_scenes=2, time_col="scene", multiple_inter="auto", auto_prc=0.1
+    )
+    return qc.select(
+        "transect", "scene",
+        F.round("chainage", 6).alias("chainage"),
+        F.round("med_chainage", 6).alias("med_chainage"),
+        F.round("std", 6).alias("std"),
+        F.round("max_chainage", 6).alias("max_chainage"),
+        F.round("min_chainage", 6).alias("min_chainage"),
+        "n",
+    )
 
 
 def q_despike_tide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,15 +765,27 @@ def q_despike_tide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # byte-identity invariant surface: mismatches would show as rows
+    # S4 byte-identity invariant surface, DuckDB-value-hash-checked: html
+    # is synthesized deterministically from the documents table in BOTH
+    # engines (same trick as text_metrics' pii suffix), Spark runs the
+    # real Arrow-batched byte-regex extractor over the binary column, and
+    # the oracle replays the extraction with regexp_extract(..., 's');
+    # md5 over the UTF-8 bytes makes any single-byte divergence a hash
+    # mismatch, and `roundtrip` pins extracted == original text per row.
     from coastsat_spark.functions.text import extract_text
 
-    docs = _webpages(spark, sf_dir)
-    return (
-        docs.withColumn("extracted", extract_text(F.col("html")))
-        .withColumn("match", (F.col("extracted") == F.col("text")).cast("int"))
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("match").alias("n_match"))
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    html = F.concat(
+        F.lit('<html><head><meta name="lang" content="'), F.col("lang"),
+        F.lit('"></head><body><nav>menu '), F.col("doc_id").cast("string"),
+        F.lit("</nav><article>"), F.col("text"),
+        F.lit("</article><footer>f</footer></body></html>"),
+    )
+    ext = extract_text(html.cast("binary"))
+    return d.select(
+        "doc_id",
+        F.md5(ext.cast("binary")).alias("text_md5"),
+        (ext == F.col("text")).cast("int").alias("roundtrip"),
     )
 
 
@@ -837,12 +876,16 @@ def q_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_classify_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from coastsat_spark.operators import classify, raster, tiling
+    # R6/J8 over the relational pixel mirror so DuckDB can replay the
+    # whole chain — 20-feature cube, literal-weight linear inference,
+    # argmax, min-area cleanup — as SQL (the model weights are inlined as
+    # constants in the oracle, exactly like the sensor model).
+    from coastsat_spark.operators import classify, raster
 
-    docs = _webpages(spark, sf_dir)
-    prepared = tiling.prepare_documents(docs)
-    px = raster.aggregate_pixels(prepared)
-    return classify.classify_scenes(px)
+    px = _doc_pixels(spark, sf_dir)
+    return classify.classify_scenes(
+        px, raster.ShorelineSettings(grid_log2=_OR_GRID_LOG2)
+    )
 
 
 def q_slope_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,8 +961,10 @@ def q_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # image decode/feature-extract + audio frame-sampling over binary
-    # media columns, unioned into one driver row (mapInPandas plumbing;
-    # codec decode is the documented fake-container stub)
+    # media columns, unioned into one driver row; payloads are REAL file
+    # formats (24-bit BMP / RIFF PCM WAV) decoded by the engine's own
+    # pure-NumPy struct parsers — compressed codecs remain the documented
+    # NotImplementedError stub
     from coastsat_spark.operators.multimodal import (
         audio_frame_samples,
         image_features,
@@ -1107,6 +1152,51 @@ def oracle_sql() -> dict[str, str]:
           AND abs(phi - phi_sl) < pi() / 2
         GROUP BY transect, scene
     """
+    # J2/A2 mirror: QC-variant predicates (no bearing), min-chainage
+    # nulling, per-group dispersion stats, and the 'auto' policy's
+    # per-transect prc_over window (SDS_transects.py:318-381)
+    qc_timeseries_sql = f"""
+        WITH tr(transect, x0, y0, x1, y1) AS (VALUES {tvals}),
+        pts AS (
+          SELECT doc_id, {_CLAT_SQL} AS lat, {_CLON_SQL} AS lon,
+                 doc_id % 2 AS scene
+          FROM documents
+        ), g AS (
+          SELECT tr.transect, pts.scene,
+                 abs((x1 - x0) * (lat - y0) - (y1 - y0) * (lon - x0))
+                   / sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) AS d_line,
+                 sqrt((lon - x0) * (lon - x0) + (lat - y0) * (lat - y0)) AS d_origin,
+                 ((lon - x0) * (x1 - x0) + (lat - y0) * (y1 - y0))
+                   / sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) AS chainage
+          FROM pts CROSS JOIN tr
+        ), ch AS (
+          SELECT transect, scene,
+                 CASE WHEN chainage < -100.0 THEN NULL ELSE chainage END AS chain
+          FROM g WHERE d_line <= {_TI_ALONG!r} AND d_origin <= {_TI_MAXD!r}
+        ), st AS (
+          SELECT transect, scene,
+                 quantile_cont(chain, 0.5) AS med,
+                 stddev_pop(chain) AS std,
+                 max(chain) AS mx, min(chain) AS mn,
+                 count(chain) AS n
+          FROM ch GROUP BY 1, 2
+        ), w AS (
+          SELECT *,
+                 sum(CASE WHEN std > 0.25 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY transect) / 2.0 AS prc_over
+          FROM st
+        )
+        SELECT transect, scene,
+               round(CASE WHEN std <= 0.25 AND (mx - mn) <= 0.6 AND n >= 3 THEN med
+                          WHEN prc_over > 0.1 AND n >= 3 THEN mx
+                          ELSE NULL END, 6) AS chainage,
+               round(med, 6) AS med_chainage,
+               round(std, 6) AS std,
+               round(mx, 6) AS max_chainage,
+               round(mn, 6) AS min_chainage,
+               n
+        FROM w
+    """
     same_day_dedup_sql = """
         WITH sc AS (
           SELECT event_type, event_id, ts, user_id % 5 AS zone FROM events
@@ -1142,6 +1232,12 @@ def oracle_sql() -> dict[str, str]:
                           ELSE least(greatest(swir, 0.0), hs) / hs END, 6) AS swir_adj
         FROM h
     """
+    from coastsat_spark.operators.classify import classify_oracle_sql
+
+    classify_scenes_sql = f"""
+        WITH {obs_ctes},
+        {classify_oracle_sql("px", _OR_GRID_LOG2)}
+    """
     class_histogram_sql = f"""
         WITH {obs_ctes}
         SELECT CASE WHEN cloud_frac > 0.5 THEN 'cloud'
@@ -1159,6 +1255,25 @@ def oracle_sql() -> dict[str, str]:
         "same_day_dedup": same_day_dedup_sql,
         "rescale_stretch": rescale_stretch_sql,
         "class_histogram": class_histogram_sql,
+        "classify_scenes": classify_scenes_sql,
+        "qc_timeseries": qc_timeseries_sql,
+        "text_extraction": """
+            WITH h AS (
+              SELECT doc_id, text,
+                     '<html><head><meta name="lang" content="' || lang ||
+                     '"></head><body><nav>menu ' || CAST(doc_id AS VARCHAR) ||
+                     '</nav><article>' || text ||
+                     '</article><footer>f</footer></body></html>' AS html
+              FROM documents
+            ), e AS (
+              SELECT doc_id, text,
+                     regexp_extract(html, '<article>(.*?)</article>', 1, 's') AS ext
+              FROM h
+            )
+            SELECT doc_id, md5(ext) AS text_md5,
+                   CAST(ext = text AS INT) AS roundtrip
+            FROM e
+        """,
         "embedding_dedup": """
             WITH n AS (
               SELECT vec_id, embedding,

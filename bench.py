@@ -124,11 +124,13 @@ def main() -> None:
         a = np.random.rand(n)
         b = np.random.rand(n)
         c = np.empty_like(a)
+        tb = np.empty_like(a)
+        np.multiply(b, 2.0, out=tb)  # hoisted: keep the timed region 3-stream
         t0 = time.perf_counter()
-        np.add(a, 2.0 * b, out=c)
+        np.add(a, tb, out=c)
         return round((3 * 8 * n / (time.perf_counter() - t0)) / 1e9, 3)
 
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
     noise_before = _triad_gbps()
     times: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -333,20 +333,64 @@ def point_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.nda
     return inside
 
 
+_DT_BIG = 1 << 40
+
+
+def _col_dist(mask: np.ndarray) -> np.ndarray:
+    """Per-pixel vertical distance |i - i'| to the nearest True pixel in
+    the SAME column (exact, two accumulate sweeps, O(px))."""
+    h, w = mask.shape
+    ii = np.arange(h, dtype=np.int64)[:, None]
+    above = np.maximum.accumulate(np.where(mask, ii, -_DT_BIG), axis=0)
+    below = np.minimum.accumulate(np.where(mask, ii, _DT_BIG)[::-1], axis=0)[::-1]
+    return np.minimum(ii - above, below - ii)
+
+
+def nearest_true_dist2(mask: np.ndarray, radius: float) -> np.ndarray:
+    """Per-pixel SQUARED Euclidean distance to the nearest True pixel,
+    exact wherever that distance <= `radius`; farther pixels report a
+    value > radius**2 (capped). The radius-truncated separable distance
+    transform: one exact column sweep (O(px)) then a windowed row combine
+    over 2*ceil(radius)+1 shifts (O(px * radius)) — replaces the
+    O(px * n_points) brute-force matrix, which is quadratic when the
+    point set is dense (e.g. a large cloud mask)."""
+    if not mask.any():
+        return np.full(mask.shape, float(_DT_BIG))
+    dc = _col_dist(mask)
+    r = int(np.ceil(radius))
+    d2 = np.full(mask.shape, float(_DT_BIG))
+    w = mask.shape[1]
+    for dj in range(-r, r + 1):
+        if abs(dj) >= w:
+            continue
+        # dc shifted by dj along axis 1, BIG-filled at the border
+        cand = np.full(mask.shape, float(_DT_BIG))
+        if dj >= 0:
+            cand[:, : w - dj] = dc[:, dj:]
+        else:
+            cand[:, -dj:] = dc[:, : w + dj]
+        np.minimum(d2, cand * cand + dj * dj, out=d2)
+    return d2
+
+
+def within_distance(mask: np.ndarray, radius: float) -> np.ndarray:
+    """Boolean: pixel center within `radius` (Euclidean, center-to-center)
+    of any True pixel. Exact; O(px * radius)."""
+    return nearest_true_dist2(mask, radius) <= radius * radius
+
+
 def buffer_mask(shape: tuple[int, int], rows: np.ndarray, cols: np.ndarray, radius: float) -> np.ndarray:
     """R7: boolean mask of pixels within `radius` of any reference point
     (create_shoreline_buffer analog, SDS_shoreline.py:525-584 — disk
-    dilation expressed as a distance threshold). Exact brute force; grids
-    here are <= GRID^2 pixels so O(px * points) is bounded."""
-    h, w = shape
+    dilation expressed as a distance threshold). Truncated separable
+    distance transform, O(px * radius) — independent of the reference
+    point count, unlike the former O(px * points) matrix."""
     out = np.zeros(shape, dtype=bool)
     if len(rows) == 0:
         return out
-    yy, xx = np.mgrid[0:h, 0:w]
-    d2 = (yy[..., None] - np.asarray(rows)[None, None, :]) ** 2 + (
-        xx[..., None] - np.asarray(cols)[None, None, :]
-    ) ** 2
-    return (d2.min(axis=2) <= radius * radius)
+    seed = np.zeros(shape, dtype=bool)
+    seed[np.asarray(rows, dtype=np.int64), np.asarray(cols, dtype=np.int64)] = True
+    return within_distance(seed, radius)
 
 
 def rescale_intensity(im: np.ndarray, prc_clip: float = 99.9) -> np.ndarray:

@@ -129,9 +129,11 @@ def classify_grid(
     return lab
 
 
-_CLASSIFY_SCHEMA = (
-    "tile long, scene_month timestamp, px_row int, px_col int, label int"
-)
+def _classify_schema(pixels: DataFrame) -> str:
+    # scene_month is a timestamp on the webpages path but a derived bigint
+    # on the oracle-mirror path; carry the input's type through
+    mt = dict(pixels.dtypes).get("scene_month", "timestamp")
+    return f"tile long, scene_month {mt}, px_row int, px_col int, label int"
 
 
 def classify_scenes(
@@ -148,6 +150,8 @@ def classify_scenes(
     s = s or ShorelineSettings()
     model = DEFAULT_MODEL if model is None else model
     g = 1 << s.grid_log2
+
+    schema = _classify_schema(pixels)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         tile = int(pdf["tile"].iloc[0])
@@ -173,7 +177,7 @@ def classify_scenes(
             }
         )
 
-    return pixels.groupBy("tile", "scene_month").applyInPandas(fn, schema=_CLASSIFY_SCHEMA)
+    return pixels.groupBy("tile", "scene_month").applyInPandas(fn, schema=schema)
 
 
 def refined_otsu_threshold(
@@ -201,3 +205,96 @@ def confusion_matrix(df: DataFrame, y_true: str, y_pred: str) -> DataFrame:
     return df.groupBy(F.col(y_true).alias("label_true"), F.col(y_pred).alias("label_pred")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def classify_oracle_sql(px_cte: str, grid_log2: int, model: np.ndarray | None = None) -> str:
+    """DuckDB mirror of `classify_scenes` over the relational pixel CTE
+    (the same sensor-model mirror the pixel_aggregate oracle uses):
+    20-feature cube (5 bands, 5 normalized differences, 10 reflect-padded
+    3x3 windowed stds via per-offset neighbor joins — reflected duplicates
+    counted exactly like the integral image), literal-weight linear scores
+    (the broadcast model inlined as constants, mirroring R6's
+    classify_image_NN, SDS_shoreline.py:326-387), first-max-wins argmax,
+    cloud/nodata exclusion, and the min_beach_area=2 cleanup (a
+    size-2 8-connected component exists iff a same-class neighbor does).
+
+    Assumes ShorelineSettings defaults: min_docs_per_px=1 (every px row is
+    data) and cloud_mask_frac=0.5.
+    """
+    model = DEFAULT_MODEL if model is None else model
+    g = 1 << grid_log2
+    hi, refl = g - 1, 2 * (g - 1)
+    nd_exprs = [
+        f"(({a} - {b}) / ({a} + {b}))" for a, b in _ND_PAIRS
+    ]
+    base_feats = list(BANDS) + [f"nd{i}" for i in range(5)]
+    offs = ", ".join(
+        f"({di}, {dj})" for di in (-1, 0, 1) for dj in (-1, 0, 1)
+    )
+
+    def reflect(expr: str) -> str:
+        return (
+            f"CASE WHEN {expr} < 0 THEN -({expr}) "
+            f"WHEN {expr} > {hi} THEN {refl} - ({expr}) ELSE {expr} END"
+        )
+
+    std_cols = ", ".join(
+        f"sqrt(greatest(sum(n_{f} * n_{f}) / count(n_{f})"
+        f" - (sum(n_{f}) / count(n_{f})) * (sum(n_{f}) / count(n_{f})), 0.0)) AS s_{f}"
+        for f in base_feats
+    )
+    feat_order = base_feats + [f"s_{f}" for f in base_feats]  # 20 features
+    scores = []
+    for k in range(model.shape[0]):
+        terms = [f"{model[k, 0]!r}"] + [
+            f"{model[k, j + 1]!r} * {f}" for j, f in enumerate(feat_order)
+        ]
+        scores.append(" + ".join(terms) + f" AS sc{k}")
+    return f"""
+        base AS (
+          SELECT tile, scene_month, px_row, px_col,
+                 {", ".join(BANDS)},
+                 {", ".join(f'{e} AS nd{i}' for i, e in enumerate(nd_exprs))},
+                 cloud_frac
+          FROM px
+        ), off(di, dj) AS (VALUES {offs}),
+        nb AS (
+          SELECT o.tile, o.scene_month, o.px_row, o.px_col,
+                 {", ".join(f'n.{f} AS n_{f}' for f in base_feats)}
+          FROM base o CROSS JOIN off
+          LEFT JOIN base n
+            ON n.tile = o.tile AND n.scene_month = o.scene_month
+           AND n.px_row = {reflect("o.px_row + off.di")}
+           AND n.px_col = {reflect("o.px_col + off.dj")}
+        ), stds AS (
+          SELECT tile, scene_month, px_row, px_col, {std_cols}
+          FROM nb GROUP BY 1, 2, 3, 4
+        ), scored AS (
+          SELECT b.tile, b.scene_month, b.px_row, b.px_col, b.cloud_frac,
+                 {", ".join(scores)}
+          FROM base b JOIN stds USING (tile, scene_month, px_row, px_col)
+        ), lab AS (
+          SELECT tile, scene_month,
+                 CAST(px_row AS INTEGER) AS px_row,
+                 CAST(px_col AS INTEGER) AS px_col,
+                 CASE WHEN sc0 >= sc1 AND sc0 >= sc2 AND sc0 >= sc3 THEN 0
+                      WHEN sc1 >= sc2 AND sc1 >= sc3 THEN 1
+                      WHEN sc2 >= sc3 THEN 2
+                      ELSE 3 END AS raw_label
+          FROM scored WHERE cloud_frac <= 0.5
+        ), cleaned AS (
+          SELECT v.tile, v.scene_month, v.px_row, v.px_col,
+                 CAST(CASE WHEN v.raw_label IN ({CLASS_SAND}, {CLASS_WATER})
+                        AND NOT EXISTS (
+                          SELECT 1 FROM lab w
+                          WHERE w.tile = v.tile AND w.scene_month = v.scene_month
+                            AND w.raw_label = v.raw_label
+                            AND abs(w.px_row - v.px_row) <= 1
+                            AND abs(w.px_col - v.px_col) <= 1
+                            AND NOT (w.px_row = v.px_row AND w.px_col = v.px_col)
+                        )
+                      THEN {CLASS_OTHER} ELSE v.raw_label END AS INTEGER) AS label
+          FROM lab v
+        )
+        SELECT tile, scene_month, px_row, px_col, label FROM cleaned
+    """

@@ -3,12 +3,15 @@
 Media payloads are opaque `binary` columns with typed metadata; the
 Spark-side plumbing — schema, partition-preserving mapInPandas, Arrow
 batch shapes, deterministic synthetic payloads — is real and tested.
-Actual codec decode is STUBBED: the container has no image/audio
-libraries, so `decode_image`/`decode_audio` raise NotImplementedError
-unless the payload uses the engine's deterministic FAKE container format
-(header-framed raw bytes), which exercises every other part of the path.
 
-FAKE container formats:
+REAL codecs (pure-NumPy struct parsing, no libraries needed):
+  - BMP: uncompressed 24-bit BI_RGB (bottom-up or top-down rows, 4-byte
+    row padding) — encode + decode;
+  - WAV: RIFF PCM mono 16-bit (chunk-walking parser) — encode + decode.
+Compressed codecs (JPEG/PNG/MP3/...) stay honestly STUBBED with
+NotImplementedError: the container has no codec libraries.
+
+A deterministic FAKE container format remains supported for tests:
   image: b"FIMG|" + w(le32) + h(le32) + c(le32) + w*h*c raw bytes
   audio: b"FAUD|" + sr(le32) + n(le32)  + n int16 samples (le)
 """
@@ -43,35 +46,122 @@ def make_fake_audio(idx: int, sr: int = 8000, n: int = 1600) -> bytes:
     return AUDIO_MAGIC + struct.pack("<II", sr, n) + samples.tobytes()
 
 
+def encode_bmp(im: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as an uncompressed 24-bit BI_RGB BMP
+    (bottom-up rows, 4-byte row padding) — pure struct packing."""
+    h, w, _ = im.shape
+    rowsize = (w * 3 + 3) & ~3
+    datasize = rowsize * h
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + datasize, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, datasize, 2835, 2835, 0, 0)
+    rows = np.zeros((h, rowsize), dtype=np.uint8)
+    rows[:, : w * 3] = im[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BI_RGB BMP to (h, w, 3) uint8 RGB."""
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    rowsize = (w * 3 + 3) & ~3
+    arr = np.frombuffer(payload, np.uint8, rowsize * h, data_off).reshape(h, rowsize)
+    img = arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return (img[::-1] if bottom_up else img).copy()
+
+
+def encode_wav(samples: np.ndarray, sr: int) -> bytes:
+    """Encode int16 mono samples as a RIFF PCM WAV."""
+    data = np.asarray(samples).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a RIFF PCM mono 16-bit WAV (chunk-walking parser)."""
+    if payload[8:12] != b"WAVE":
+        raise NotImplementedError("RIFF container is not WAVE")
+    pos, sr = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            tag, nch, sr, _br, _ba, bps = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            if tag != 1 or nch != 1 or bps != 16:
+                raise NotImplementedError(
+                    f"only PCM mono 16-bit WAV supported (tag={tag}, ch={nch}, bps={bps})"
+                )
+        elif cid == b"data":
+            if sr is None:
+                raise NotImplementedError("WAV data chunk before fmt chunk")
+            return sr, np.frombuffer(payload, "<i2", sz // 2, pos + 8)
+        pos += 8 + sz + (sz & 1)
+    raise NotImplementedError("WAV has no data chunk")
+
+
 def decode_image_bytes(payload: bytes) -> np.ndarray:
-    """Decode a FAKE-container image to (h, w, c) uint8. Real codecs
-    (JPEG/PNG/...) are intentionally unimplemented in this environment."""
+    """Decode an image payload to (h, w, c) uint8: real BMP parsing, the
+    FIMG fake container for tests; compressed codecs (JPEG/PNG/...) are
+    intentionally unimplemented in this environment."""
     if payload is None:
         return None
-    if not payload.startswith(IMAGE_MAGIC):
-        raise NotImplementedError(
-            "real image codecs unavailable in this container; expected FIMG fake format"
-        )
-    w, h, c = struct.unpack_from("<III", payload, len(IMAGE_MAGIC))
-    off = len(IMAGE_MAGIC) + 12
-    return np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=off).reshape(h, w, c)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    if payload.startswith(IMAGE_MAGIC):
+        w, h, c = struct.unpack_from("<III", payload, len(IMAGE_MAGIC))
+        off = len(IMAGE_MAGIC) + 12
+        return np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=off).reshape(h, w, c)
+    raise NotImplementedError(
+        "compressed image codecs unavailable in this container; expected BMP or FIMG"
+    )
 
 
 def decode_audio_bytes(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode an audio payload to (sample_rate, int16 samples): real WAV
+    parsing, the FAUD fake container for tests; compressed codecs stay
+    unimplemented."""
     if payload is None:
         return None
-    if not payload.startswith(AUDIO_MAGIC):
-        raise NotImplementedError(
-            "real audio codecs unavailable in this container; expected FAUD fake format"
-        )
-    sr, n = struct.unpack_from("<II", payload, len(AUDIO_MAGIC))
-    off = len(AUDIO_MAGIC) + 8
-    return sr, np.frombuffer(payload, dtype="<i2", count=n, offset=off)
+    if payload.startswith(b"RIFF"):
+        return decode_wav(payload)
+    if payload.startswith(AUDIO_MAGIC):
+        sr, n = struct.unpack_from("<II", payload, len(AUDIO_MAGIC))
+        off = len(AUDIO_MAGIC) + 8
+        return sr, np.frombuffer(payload, dtype="<i2", count=n, offset=off)
+    raise NotImplementedError(
+        "compressed audio codecs unavailable in this container; expected WAV or FAUD"
+    )
+
+
+def make_bmp_image(idx: int, w: int = 16, h: int = 12) -> bytes:
+    """Deterministic REAL 24-bit BMP payload (same pixel stream as the
+    fake container, struct-encoded as an actual file format)."""
+    px = (hash_stream(np.arange(w * h * 3) + idx * 1_000_003, 77) % np.uint64(256)).astype(
+        np.uint8
+    )
+    return encode_bmp(px.reshape(h, w, 3))
+
+
+def make_wav_audio(idx: int, sr: int = 8000, n: int = 1600) -> bytes:
+    """Deterministic REAL RIFF PCM WAV payload (same sine as the fake)."""
+    t = np.arange(n, dtype=np.float64)
+    f = 100.0 + (idx % 40) * 10.0
+    samples = (np.sin(2 * np.pi * f * t / sr) * 10000).astype("<i2")
+    return encode_wav(samples, sr)
 
 
 def media_table(spark, n: int = 1000) -> DataFrame:
     """Deterministic synthetic media table: (media_id, kind, payload,
-    width, height, channels, sample_rate, n_samples)."""
+    width, height, channels, sample_rate, n_samples). Payloads are REAL
+    file formats (24-bit BMP / PCM WAV), decoded by the engine's own
+    struct parsers."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -79,9 +169,9 @@ def media_table(spark, n: int = 1000) -> DataFrame:
             rows = []
             for i in ids:
                 if i % 2 == 0:
-                    rows.append((int(i), "image", make_fake_image(int(i)), 16, 12, 3, None, None))
+                    rows.append((int(i), "image", make_bmp_image(int(i)), 16, 12, 3, None, None))
                 else:
-                    rows.append((int(i), "audio", make_fake_audio(int(i)), None, None, None, 8000, 1600))
+                    rows.append((int(i), "audio", make_wav_audio(int(i)), None, None, None, 8000, 1600))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -182,10 +272,14 @@ def resize_images(media: DataFrame, out_w: int, out_h: int, mode: str = "nearest
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                im = decode_image_bytes(bytes(payload))
+                raw = bytes(payload)
+                im = decode_image_bytes(raw)
                 c = im.shape[2]
                 resized = resample(im, out_w, out_h)
-                enc = IMAGE_MAGIC + struct.pack("<III", out_w, out_h, c) + resized.tobytes()
+                if raw.startswith(b"BM") and c == 3:
+                    enc = encode_bmp(resized)
+                else:
+                    enc = IMAGE_MAGIC + struct.pack("<III", out_w, out_h, c) + resized.tobytes()
                 rows.append((int(mid), enc, out_w, out_h))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
 

@@ -121,6 +121,68 @@ def scene_quality(pixels: DataFrame, s: ShorelineSettings) -> DataFrame:
     )
 
 
+def with_halo(
+    pixels: DataFrame,
+    grid_log2: int = cells.GRID_LOG2,
+) -> DataFrame:
+    """Append 1-px ghost rows from the 8 neighboring tiles to every tile's
+    pixel set, so marching squares stitches contours across tile borders
+    (the reference contours whole scenes, SDS_shoreline.py:433-436; this
+    restores that continuity for tiled extraction — SURVEY §7.3 halos).
+
+    Ghost rows keep the same columns with px_row/px_col in the OWNING
+    tile's frame extended to [-1, g]: a border pixel of a neighbor lands
+    on the ghost ring; `scene_extract_pdf` assembles them into a
+    (g+2)^2 grid, contours the extension, and emits only core-owned
+    points, so every world point is emitted by exactly one tile.
+
+    Pure JVM plan: border filter (narrow) -> broadcast 8-row offset cross
+    join -> frame/bounds filter -> union. The ghosts ride the existing
+    groupBy(tile, scene) shuffle — no extra exchange; the added bytes are
+    <= 8 copies of the ~4g/g^2 border fraction of shuffle-2, which is
+    already the small side of the pipeline.
+    """
+    g = 1 << grid_log2
+    spark = pixels.sparkSession
+    off = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if dx or dy],
+        "dx int, dy int",
+    )
+    border = pixels.filter(
+        F.col("px_row").isin(0, g - 1) | F.col("px_col").isin(0, g - 1)
+    )
+    # bitwise decode (float division would lose precision at 2^60-scale
+    # ids); tile res is read from the id itself so the operator works at
+    # any tiling resolution
+    res = F.shiftright(F.col("tile"), cells.R_BITS)
+    # SQL shiftleft accepts a column shift count (the DataFrame helper
+    # only takes a literal)
+    n = F.expr(f"shiftleft(1L, cast(shiftright(tile, {cells.R_BITS}) as int))")
+    x = F.shiftright(F.col("tile"), cells.X_BITS) % F.lit(1 << cells.X_BITS)
+    y = F.col("tile") % F.lit(1 << cells.X_BITS)
+    gh = (
+        border.crossJoin(F.broadcast(off))
+        .withColumn("_frow", F.col("px_row") - F.col("dy") * F.lit(g))
+        .withColumn("_fcol", F.col("px_col") - F.col("dx") * F.lit(g))
+        .filter(
+            F.col("_frow").between(-1, g) & F.col("_fcol").between(-1, g)
+        )
+        .withColumn("_ny", y + F.col("dy"))
+        .filter((F.col("_ny") >= 0) & (F.col("_ny") < n))  # lat clamps
+        .withColumn("_nx", F.pmod(x + F.col("dx"), n))  # lon wraps
+        .withColumn(
+            "tile",
+            res * F.lit(1 << cells.R_BITS)
+            + F.col("_nx") * F.lit(1 << cells.X_BITS)
+            + F.col("_ny"),
+        )
+        .withColumn("px_row", F.col("_frow"))
+        .withColumn("px_col", F.col("_fcol"))
+        .drop("dx", "dy", "_frow", "_fcol", "_nx", "_ny")
+    )
+    return pixels.unionByName(gh.select(*pixels.columns))
+
+
 _SHORELINE_SCHEMA = (
     "tile long, scene_month timestamp, contour_id int, point_idx int, "
     "px_x double, px_y double, lon double, lat double, t_mndwi double"
@@ -139,22 +201,36 @@ def scene_extract_pdf(
     Shared verbatim by the pytest NumPy oracle. `ref_px` = (rows, cols) of
     the reference shoreline rasterized onto this tile's grid (R7 buffer
     gate, only used when s.max_dist_ref is set).
+
+    Operates on a (g+2)^2 EXTENDED grid: `with_halo` ghost rows (px_row /
+    px_col in [-1, g]) fill the 1-px ring so marching squares traces
+    contours across tile borders and `min_contour_len_px` measures the
+    full visible polyline; without halo rows the ring stays NaN and
+    behavior is identical to a plain g^2 grid (NaN corners emit no
+    segments). Scene gates, Otsu, and the classification-refined
+    threshold all use ONLY core pixels, so thresholds are
+    tile-deterministic with or without halo. Only core-owned points
+    (core frame [-0.5, g-0.5) half-open) are emitted, so each stitched
+    world point comes from exactly one tile.
     """
     g = 1 << s.grid_log2
+    E = g + 2  # extended (halo) grid side; index = core coord + 1
+    core = (slice(1, g + 1), slice(1, g + 1))
     tile = int(pdf["tile"].iloc[0])
     month = pdf["scene_month"].iloc[0]
 
-    grid = np.full((g, g, 2), np.nan)  # [:, :, 0]=green, 1=swir
-    cloudm = np.zeros((g, g), dtype=bool)
-    filled = np.zeros((g, g), dtype=bool)
+    grid = np.full((E, E, 2), np.nan)  # [:, :, 0]=green, 1=swir
+    cloudm = np.zeros((E, E), dtype=bool)
+    filled = np.zeros((E, E), dtype=bool)
     r = pdf["px_row"].to_numpy(int)
     c = pdf["px_col"].to_numpy(int)
     ok = pdf["n_docs"].to_numpy() >= s.min_docs_per_px
-    grid[r[ok], c[ok], 0] = pdf["green"].to_numpy()[ok]
-    grid[r[ok], c[ok], 1] = pdf["swir"].to_numpy()[ok]
-    filled[r[ok], c[ok]] = True
+    grid[r[ok] + 1, c[ok] + 1, 0] = pdf["green"].to_numpy()[ok]
+    grid[r[ok] + 1, c[ok] + 1, 1] = pdf["swir"].to_numpy()[ok]
+    filled[r[ok] + 1, c[ok] + 1] = True
     cl = ok & (pdf["cloud_frac"].to_numpy() > s.cloud_mask_frac)
-    cloudm[r[cl], c[cl]] = True
+    cloudm[r[cl] + 1, c[cl] + 1] = True
+    is_core = (r >= 0) & (r < g) & (c >= 0) & (c < g)
 
     empty = pd.DataFrame(
         {
@@ -173,11 +249,12 @@ def scene_extract_pdf(
         }
     )
 
-    # scene gates (redundant with scene_quality filter; cheap safety)
-    n_filled = int(filled.sum())
+    # scene gates on CORE pixels only (redundant with scene_quality
+    # filter; cheap safety) — halo rows never change a tile's gates
+    n_filled = int(filled[core].sum())
     if n_filled == 0 or n_filled / (g * g) < s.min_filled_frac:
         return empty
-    if cloudm.sum() / max(n_filled, 1) > s.max_cloud_frac:
+    if cloudm[core].sum() / max(n_filled, 1) > s.max_cloud_frac:
         return empty
 
     mndwi = (grid[:, :, 1] - grid[:, :, 0]) / (grid[:, :, 1] + grid[:, :, 0])
@@ -187,28 +264,35 @@ def scene_extract_pdf(
     # restricted to pixels near the prior shoreline, exactly like the
     # reference masks im_mndwi with im_ref_buffer (SDS_shoreline.py:453,
     # 497). No reference points for the tile => no gate (buffer off).
+    # Extended-size so the buffer dilates into the halo ring and border
+    # contours keep stitching.
     if s.max_dist_ref is not None and ref_px is not None and len(ref_px[0]):
-        buf = kernels.buffer_mask((g, g), ref_px[0], ref_px[1], s.max_dist_ref)
+        buf = kernels.buffer_mask(
+            (E, E), np.asarray(ref_px[0]) + 1, np.asarray(ref_px[1]) + 1, s.max_dist_ref
+        )
         mndwi[~buf] = np.nan
 
-    vals = mndwi[np.isfinite(mndwi)]
+    vals = mndwi[core][np.isfinite(mndwi[core])]
     if (vals < s.water_cut).sum() < s.min_water_px or (vals > s.land_cut).sum() < s.min_land_px:
         return empty
 
     # SDS_shoreline.py:195-202: >= min_sand_px classified sand pixels in
     # the (buffered) scene -> class-refined Otsu (find_wl_contours2 path),
     # else the global-histogram threshold (find_wl_contours1 path).
+    # Core-only, like the gates: the refined threshold must not depend on
+    # neighbor-tile pixels.
     t = np.nan
     if s.min_sand_px is not None:
         from . import classify as _classify
 
+        rc, cc_ = r[ok & is_core], c[ok & is_core]
         grids = {b: np.full((g, g), np.nan) for b in BANDS}
         for b in BANDS:
-            grids[b][r[ok], c[ok]] = pdf[b].to_numpy()[ok]
-        labels = _classify.classify_grid(grids, cloudm, _classify.DEFAULT_MODEL)
-        labels[~np.isfinite(mndwi)] = -1  # outside buffer/nodata
+            grids[b][rc, cc_] = pdf[b].to_numpy()[ok & is_core]
+        labels = _classify.classify_grid(grids, cloudm[core], _classify.DEFAULT_MODEL)
+        labels[~np.isfinite(mndwi[core])] = -1  # outside buffer/nodata
         if (labels == _classify.CLASS_SAND).sum() >= s.min_sand_px:
-            t = _classify.refined_otsu_threshold(mndwi, labels)
+            t = _classify.refined_otsu_threshold(mndwi[core], labels)
     if not np.isfinite(t):
         t = kernels.otsu_threshold(vals)
     if not np.isfinite(t):
@@ -218,45 +302,75 @@ def scene_extract_pdf(
 
     # cloud-proximity anti-join (J7, SDS_shoreline.py:679-692): drop points
     # within dist_cloud_px of any cloud pixel center (scene-local exact).
-    cy, cx = np.nonzero(cloudm)
+    # Windowed neighborhood scan: a cloud pixel within dist_cloud_px of a
+    # sub-pixel point lies within ceil(dist+1) integer steps of the
+    # rounded point, so checking the (2R+1)^2 local mask window gives the
+    # exact same keep decisions as the former full points x cloud_px
+    # distance matrix at O(points * R^2) instead of O(points * cloud_px)
+    # — quadratic-free when the cloud mask is dense.
+    has_cloud = bool(cloudm.any())
+    _cloud_R = int(np.ceil(s.dist_cloud_px + 1.0))
+
+    def _cloud_keep(pts: np.ndarray) -> np.ndarray:
+        base_y = np.round(pts[:, 0]).astype(np.int64)
+        base_x = np.round(pts[:, 1]).astype(np.int64)
+        d2min = np.full(len(pts), np.inf)
+        for di in range(-_cloud_R, _cloud_R + 1):
+            for dj in range(-_cloud_R, _cloud_R + 1):
+                ny = base_y + di
+                nx = base_x + dj
+                inb = (ny >= 0) & (ny < E) & (nx >= 0) & (nx < E)
+                iscloud = inb & cloudm[np.where(inb, ny, 0), np.where(inb, nx, 0)]
+                d2 = (ny - pts[:, 0]) ** 2 + (nx - pts[:, 1]) ** 2
+                d2min = np.where(iscloud, np.minimum(d2min, d2), d2min)
+        return d2min > s.dist_cloud_px**2
+
     lon0, lat0, dlon, dlat = cells.np_cell_bounds(np.array([tile]))
     lon0, lat0, dlon, dlat = float(lon0[0]), float(lat0[0]), float(dlon[0]), float(dlat[0])
 
-    rows = []
+    kept: list[np.ndarray] = []
+    cids: list[np.ndarray] = []
+    idxs: list[np.ndarray] = []
     cid = 0
     for cont in contours:
+        # length measured on the FULL traced polyline (including halo
+        # points): a short border fragment whose continuation is visible
+        # in the ghost ring is no longer dropped
         if kernels.polyline_length(cont) < s.min_contour_len_px:
             continue
-        pts = cont  # (n, 2) as (row, col) sub-pixel
-        if len(cy):
-            d2 = (pts[:, 0:1] - cy[None, :]) ** 2 + (pts[:, 1:2] - cx[None, :]) ** 2
-            keep = d2.min(axis=1) > s.dist_cloud_px**2
-        else:
-            keep = np.ones(len(pts), dtype=bool)
-        pts = pts[keep]
-        if len(pts) < 2:
+        pts = cont  # (n, 2) as (row, col) sub-pixel, EXTENDED coords
+        if has_cloud:
+            pts = pts[_cloud_keep(pts)]
+        # core ownership (half-open [-0.5, g-0.5) in core frame): each
+        # stitched world point is emitted by exactly one tile
+        pts = pts - 1.0  # extended -> core frame
+        own = (
+            (pts[:, 0] >= -0.5) & (pts[:, 0] < g - 0.5)
+            & (pts[:, 1] >= -0.5) & (pts[:, 1] < g - 0.5)
+        )
+        pts = pts[own]
+        if len(pts) < 1:
             continue
-        # pixel -> world affine: pixel centers at (index + 0.5)
-        lon = lon0 + (pts[:, 1] + 0.5) * dlon / g
-        lat = lat0 - (pts[:, 0] + 0.5) * dlat / g
-        for k in range(len(pts)):
-            rows.append((tile, month, cid, k, pts[k, 1], pts[k, 0], lon[k], lat[k], t))
+        kept.append(pts)
+        cids.append(np.full(len(pts), cid, dtype=np.int64))
+        idxs.append(np.arange(len(pts), dtype=np.int64))
         cid += 1
-    if not rows:
+    if not kept:
         return empty
+    allpts = np.concatenate(kept)
+    # pixel -> world affine: pixel centers at (index + 0.5)
     return pd.DataFrame(
-        rows,
-        columns=[
-            "tile",
-            "scene_month",
-            "contour_id",
-            "point_idx",
-            "px_x",
-            "px_y",
-            "lon",
-            "lat",
-            "t_mndwi",
-        ],
+        {
+            "tile": tile,
+            "scene_month": month,
+            "contour_id": np.concatenate(cids),
+            "point_idx": np.concatenate(idxs),
+            "px_x": allpts[:, 1],
+            "px_y": allpts[:, 0],
+            "lon": lon0 + (allpts[:, 1] + 0.5) * dlon / g,
+            "lat": lat0 - (allpts[:, 0] + 0.5) * dlat / g,
+            "t_mndwi": t,
+        }
     )
 
 
@@ -334,8 +448,13 @@ def extract_shorelines(
     s: ShorelineSettings | None = None,
     quality: DataFrame | None = None,
     reference: pd.DataFrame | None = None,
+    halo: bool = True,
 ) -> DataFrame:
-    """Shuffle 2: scene-grouped contour extraction (<=G*G rows in per group).
+    """Shuffle 2: scene-grouped contour extraction (<=(G+2)^2 rows per group).
+
+    `halo=True` (default) unions 1-px ghost rows from the 8 neighbor
+    tiles (`with_halo`) before the scene group, so contours stitch across
+    tile borders and border fragments keep their full visible length.
 
     `quality` (from scene_quality) pre-filters scenes relationally; pass
     None to gate inside the kernel only. `reference` is a small pandas
@@ -349,6 +468,8 @@ def extract_shorelines(
     if quality is not None:
         keep = quality.filter(F.col("keep")).select("tile", "scene_month")
         pixels = pixels.join(keep, ["tile", "scene_month"], "left_semi")
+    if halo:
+        pixels = with_halo(pixels, grid_log2=s.grid_log2)
 
     ref_map = None
     if reference is not None and s.max_dist_ref is not None:

@@ -140,11 +140,21 @@ def cosine_topk_lsh(
         corpus.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb")),
         n_bits, n_tables, "c_emb", dim,
     )
-    cand = (
-        cb.join(F.broadcast(qb.select("q_id", "table", "bucket")), ["table", "bucket"])
+    # distinct on the id pair ONLY — a distinct over (q_id, c_id, c_emb)
+    # would shuffle dim*8 bytes per candidate per colliding table; the
+    # id-pair exchange carries 16 bytes/row, and the corpus embedding is
+    # re-joined afterwards (one linear-in-corpus exchange, not
+    # linear-in-collisions)
+    cand_ids = (
+        cb.select("c_id", "table", "bucket")
+        .join(F.broadcast(qb.select("q_id", "table", "bucket")), ["table", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", "c_emb")
+        .select("q_id", "c_id")
         .distinct()
+    )
+    cand = cand_ids.join(
+        corpus.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb")),
+        "c_id",
     )
     q = with_norm(
         queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")), "q_emb"
@@ -310,14 +320,23 @@ def embedding_dup_pairs_lsh(
     banded = lsh_bucket_ids(
         emb.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e")),
         n_bits, n_tables, "e", dim,
-    )
-    a = banded.toDF("id_a", "e_a", "table", "bucket")
-    b = banded.toDF("id_b", "e_b", "table", "bucket")
-    cand = (
+    ).select("id", "table", "bucket")
+    a = banded.toDF("id_a", "table", "bucket")
+    b = banded.toDF("id_b", "table", "bucket")
+    # candidate generation and dedup carry ONLY the id pair (16 bytes/row
+    # through the distinct exchange); embeddings are re-joined once per
+    # side afterwards — two linear-in-corpus exchanges instead of a
+    # dim*8*2-bytes-per-collision one
+    cand_ids = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "e_a", "id_b", "e_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
+    cand = (
+        cand_ids.join(vecs.toDF("id_a", "e_a"), "id_a")
+        .join(vecs.toDF("id_b", "e_b"), "id_b")
     )
     na = F.sqrt(F.expr("aggregate(e_a, 0.0D, (s, v) -> s + v * v)"))
     nb = F.sqrt(F.expr("aggregate(e_b, 0.0D, (s, v) -> s + v * v)"))

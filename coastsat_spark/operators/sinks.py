@@ -238,12 +238,24 @@ def compact_partitions(
     """
     import shutil
 
+    tmp = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".precompact"
+    # a stale staging dir from a prior failed run would make the swap
+    # renames raise; a stale backup means a prior run crashed mid-swap —
+    # if the live path is missing, restore it from the backup first
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
     stats = partition_file_stats(path, partition_col)
     target = max(1, target_mb) * 1024 * 1024
     plan = {
         pv: max(1, -(-size // target)) for pv, (_n, size) in stats.items()
     }
     df = spark.read.parquet(path)
+    src_rows = df.count()
     nf = F.create_map(
         *[x for pv, n in sorted(plan.items()) for x in (F.lit(pv), F.lit(int(n)))]
     )
@@ -251,7 +263,6 @@ def compact_partitions(
         "_salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), nf[F.col(partition_col)]),
     )
-    tmp = path.rstrip("/") + ".compacting"
     (
         salted.repartition(F.col(partition_col), F.col("_salt"))
         .drop("_salt")
@@ -259,9 +270,25 @@ def compact_partitions(
         .partitionBy(partition_col)
         .parquet(tmp)
     )
-    old = path.rstrip("/") + ".precompact"
+    # validate the staged rewrite BEFORE touching the live path
+    staged_rows = spark.read.parquet(tmp).count()
+    if staged_rows != src_rows:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compact_partitions: staged rewrite has {staged_rows} rows, "
+            f"source has {src_rows}; aborting swap (source untouched)"
+        )
     os.rename(path, old)
     os.rename(tmp, path)
+    # delete the backup only after a successful post-swap read: a crash
+    # anywhere above leaves either the original at `path` or the backup
+    # at `old` (recovered on the next invocation's entry check)
+    post_rows = spark.read.parquet(path).count()
+    if post_rows != src_rows:
+        raise RuntimeError(
+            f"compact_partitions: post-swap read has {post_rows} rows, "
+            f"expected {src_rows}; backup kept at {old}"
+        )
     shutil.rmtree(old)
     return {pv: int(n) for pv, n in plan.items()}
 

@@ -100,6 +100,15 @@ def streaming_sessions(
     Works on a batch DataFrame too (session_window is a grouping
     expression), which is how the parity test pins it to the batch
     operator's output.
+
+    Boundary semantics vs batch `timeseries.sessionize`: session_window
+    uses half-open windows — a gap of EXACTLY `gap` starts a new session
+    here, while the batch operator starts one only when the gap is
+    strictly greater than `gap`. The two agree on any input whose
+    inter-event gaps are never an exact multiple of the gap (the parity
+    test constructs such data); on exact-boundary gaps this produces one
+    more session than batch. Callers needing exact batch equivalence
+    should jitter the gap by -1 microsecond.
     """
     # parquet timestamps read as TIMESTAMP_NTZ; event-time watermarks
     # need TimestampType — the UTC session TZ makes the cast offset-free

@@ -259,3 +259,22 @@ class TestLabelComponentsRandomized:
         got = K.label_components(mask, 1)
         want = self._bfs_labels(mask, 1)
         assert (got == want).all()
+
+
+def test_within_distance_matches_bruteforce():
+    """Truncated separable distance transform == brute-force point-matrix
+    threshold on random masks (the J7/R7 gate contract)."""
+    rng = np.random.default_rng(0)
+    for trial in range(25):
+        h, w = rng.integers(4, 40, 2)
+        mask = rng.random((h, w)) < 0.12
+        r = float(rng.uniform(0.5, 6.5))
+        got = K.within_distance(mask, r)
+        ys, xs = np.nonzero(mask)
+        if len(ys) == 0:
+            assert not got.any()
+            continue
+        yy, xx = np.mgrid[0:h, 0:w]
+        d2 = (yy[..., None] - ys) ** 2 + (xx[..., None] - xs) ** 2
+        want = d2.min(axis=2) <= r * r
+        assert (got == want).all(), trial

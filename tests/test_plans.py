@@ -130,3 +130,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_docs")
         spark.sql("DROP TABLE IF EXISTS bkt_langs")
+
+
+def test_lsh_dedup_distinct_carries_only_ids(spark):
+    """The LSH candidate dedup exchange must carry id columns only — a
+    distinct over (ids, embeddings) would shuffle dim*8 bytes per
+    collision. Assert no HashAggregate (the distinct) groups an
+    embedding column."""
+    import pandas as pd
+
+    from coastsat_spark.operators import similarity
+
+    rng = __import__("numpy").random.default_rng(7)
+    pdf = pd.DataFrame(
+        {"vec_id": range(40), "embedding": [rng.normal(size=16).tolist() for _ in range(40)]}
+    )
+    emb = spark.createDataFrame(pdf)
+    out = similarity.embedding_dup_pairs_lsh(emb, threshold=0.8, dim=16)
+    plan = _plan(out)
+    for line in plan.splitlines():
+        if "HashAggregate" in line and "Keys" in line:
+            assert "e_a" not in line and "e_b" not in line and "embedding" not in line
+
+    out2 = similarity.cosine_topk_lsh(emb.limit(5), emb, k=3, dim=16)
+    plan2 = _plan(out2)
+    for line in plan2.splitlines():
+        if "HashAggregate" in line and "Keys" in line:
+            assert "c_emb" not in line and "embedding" not in line

@@ -40,10 +40,42 @@ def oracle_shorelines(n_docs: int, s: raster.ShorelineSettings) -> pd.DataFrame:
             cloud_frac=("cloud", "mean"),
         )
     )
+    px = _halo_pdf(px, 1 << s.grid_log2)
     outs = []
     for _, grp in px.groupby(["tile", "scene_month"]):
         outs.append(raster.scene_extract_pdf(grp.reset_index(drop=True), s))
     return pd.concat(outs, ignore_index=True)
+
+
+def _halo_pdf(px: pd.DataFrame, g: int) -> pd.DataFrame:
+    """Pandas mirror of raster.with_halo (1-px ghost ring from the 8
+    neighbor tiles, lon wraps / lat clamps)."""
+    res, x, y = cells.np_decode(px["tile"].to_numpy())
+    n = np.int64(1) << res
+    parts = [px]
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            fr = px["px_row"].to_numpy() - dy * g
+            fc = px["px_col"].to_numpy() - dx * g
+            ny = y + dy
+            nx = (x + dx) % n
+            m = (
+                (fr >= -1) & (fr <= g) & (fc >= -1) & (fc <= g)
+                & (ny >= 0) & (ny < n)
+            )
+            if m.any():
+                ghost = px[m].copy()
+                ghost["tile"] = (
+                    res[m] * (1 << cells.R_BITS)
+                    + nx[m] * (1 << cells.X_BITS)
+                    + ny[m]
+                )
+                ghost["px_row"] = fr[m]
+                ghost["px_col"] = fc[m]
+                parts.append(ghost)
+    return pd.concat(parts, ignore_index=True)
 
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -216,3 +248,59 @@ def test_rescale_pixels_matches_kernel(spark):
     got = out.sort_values(["px_row", "px_col"])["green_adj"].to_numpy()
     want = pdf.assign(adj=exp).sort_values(["px_row", "px_col"])["adj"].to_numpy()
     assert np.allclose(got, want, atol=1e-9)
+
+
+def _two_tile_px(water_a: set, water_b: set) -> pd.DataFrame:
+    """Two horizontally adjacent tiles (full 8x8 grids, no cloud) with the
+    given sets of (row, col) water pixels; everything else land."""
+    res = cells.TILE_RES
+    A = res * (1 << cells.R_BITS) + 10 * (1 << cells.X_BITS) + 20
+    B = res * (1 << cells.R_BITS) + 11 * (1 << cells.X_BITS) + 20
+    rows = []
+    for tile, water in ((A, water_a), (B, water_b)):
+        for r in range(8):
+            for c in range(8):
+                swir = 43.0 if (r, c) in water else 233.0  # mndwi -/+0.399
+                rows.append((tile, pd.Timestamp("2022-01-01"), r, c, 100.0, swir, 3, 0.0))
+    return pd.DataFrame(
+        rows,
+        columns=["tile", "scene_month", "px_row", "px_col", "green", "swir", "n_docs", "cloud_frac"],
+    )
+
+
+def test_halo_stitches_and_rescues_border_fragments(spark):
+    """A shoreline notch that pokes 1 px of tile A at the border: without
+    halo its contour fragment (length < min_contour_len_px) is dropped;
+    with halo the ghost ring shows the continuation into tile B, the full
+    visible polyline passes the length gate, and each world point is
+    emitted by exactly one tile."""
+    res = cells.TILE_RES
+    A = res * (1 << cells.R_BITS) + 10 * (1 << cells.X_BITS) + 20
+    B = res * (1 << cells.R_BITS) + 11 * (1 << cells.X_BITS) + 20
+    water_b = {(r, c) for r in range(4) for c in range(8)}  # top half water
+    water_a = {(0, 7), (1, 7)}  # 2-px notch at A's right border
+    pdf = _two_tile_px(water_a, water_b)
+    sdf = spark.createDataFrame(pdf)
+    s = raster.ShorelineSettings(min_contour_len_px=2.0)
+
+    no_halo = raster.extract_shorelines(sdf, s, halo=False).toPandas()
+    halo = raster.extract_shorelines(sdf, s, halo=True).toPandas()
+
+    # without halo the short A fragment is dropped entirely
+    assert len(no_halo[no_halo["tile"] == A]) == 0
+    assert len(no_halo[no_halo["tile"] == B]) > 0
+    # with halo A's fragment survives (continuation visible in the ghost
+    # ring lifts it past the length gate) and B still emits
+    a_pts = halo[halo["tile"] == A]
+    b_pts = halo[halo["tile"] == B]
+    assert len(a_pts) >= 2 and len(b_pts) > 0
+    # A's points hug the border notch
+    assert (a_pts["px_x"] >= 6.0).all() and (a_pts["px_y"] <= 2.0).all()
+    # ownership: no world point emitted twice
+    world = halo[["lon", "lat"]].round(9)
+    assert not world.duplicated().any()
+    # every no-halo B point still exists with halo (stitching only adds)
+    merged = no_halo[no_halo["tile"] == B][["lon", "lat"]].round(9).merge(
+        b_pts[["lon", "lat"]].round(9), how="left", indicator=True
+    )
+    assert (merged["_merge"] == "both").all()

@@ -222,3 +222,44 @@ def test_compact_partitions_preserves_rows_and_cuts_files(spark, tmp_path):
     b = rows_after.sort_values(key).reset_index(drop=True)
     assert a[["id", "payload"]].equals(b[["id", "payload"]])
     assert sorted(a["m"]) == sorted(b["m"])
+
+
+def test_compact_partitions_recovers_from_crash_and_stale_dirs(spark, tmp_path):
+    """Crash-between-renames recovery: a stale .precompact backup with a
+    missing live path is restored at entry, and stale .compacting /
+    .precompact leftovers never make the operator unrunnable."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from coastsat_spark.operators import sinks
+
+    src = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 5000, 1, 4)
+        .withColumn("m", F.concat(F.lit("2024-"), F.lpad((F.col("id") % 3 + 1).cast("string"), 2, "0")))
+        .withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+    )
+    df.write.partitionBy("m").parquet(src)
+    rows = spark.read.parquet(src).count()
+
+    # simulate the crash window: table moved to .precompact, swap never
+    # completed (no live path), plus an abandoned .compacting staging dir
+    os.rename(src, src + ".precompact")
+    os.makedirs(src + ".compacting")
+    with open(os.path.join(src + ".compacting", "junk"), "w") as f:
+        f.write("stale")
+
+    plan = sinks.compact_partitions(spark, src, partition_col="m", target_mb=128)
+    assert set(plan) == {"2024-01", "2024-02", "2024-03"}
+    assert spark.read.parquet(src).count() == rows
+    assert not os.path.exists(src + ".compacting")
+    assert not os.path.exists(src + ".precompact")
+
+    # stale dirs alongside a healthy live table are swept, not fatal
+    os.makedirs(src + ".compacting")
+    shutil.copytree(src, src + ".precompact")
+    sinks.compact_partitions(spark, src, partition_col="m", target_mb=128)
+    assert spark.read.parquet(src).count() == rows
+    assert not os.path.exists(src + ".precompact")
