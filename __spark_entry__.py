@@ -194,13 +194,32 @@ def q_argmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization over the events table (30-min gap):
-    one user-keyed shuffle + lag/running-sum windows + hash aggregate,
-    all JVM; DuckDB-oracled via exact int64-microsecond comparisons."""
+    """Gap-based sessionization over the events table (30-min gap), BOTH
+    engines in one driver row: the batch operator (one user-keyed shuffle
+    + lag/running-sum windows, gap strictly > g) unioned with the
+    streaming operator's batch evaluation (native session_window,
+    half-open: gap >= g starts a session). Each engine's exact boundary
+    semantics is mirrored separately in the DuckDB oracle, so the
+    streaming operator gets a value-hash-checked driver row too."""
     from coastsat_spark.operators.timeseries import sessionize
+    from coastsat_spark.streaming.ingest import streaming_sessions
 
     ev = spark.read.parquet(_t(sf_dir, "events"))
-    return sessionize(ev, gap_seconds=1800.0)
+    b = sessionize(ev, gap_seconds=1800.0).select(
+        F.lit("batch").alias("engine"),
+        "user_id",
+        F.col("start_ts").cast("timestamp").alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+    s = streaming_sessions(ev, gap="30 minutes").select(
+        F.lit("session_window").alias("engine"),
+        "user_id",
+        F.col("session_start").cast("timestamp").alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+    return b.unionByName(s)
 
 
 def q_dedup_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,32 +252,34 @@ def q_timestep_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_seasonal_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A6 with the DJF year-shift rule
+    # A6 (DJF year-shift seasonal buckets) + A7 (trailing-month cutoff)
+    # merged under one `period_kind` column — one registry row, both
+    # operators oracle-checked (frees a slot under the 50-row cap)
     from coastsat_spark.operators.timeseries import season_bucket
 
     ev = spark.read.parquet(_t(sf_dir, "events"))
-    return ev.groupBy(
-        "event_type", season_bucket(F.col("ts")).alias("season")
+    seasonal = ev.groupBy(
+        "event_type", season_bucket(F.col("ts")).alias("period")
     ).agg(F.round(F.avg("value"), 4).alias("mean_value"), F.count(F.lit(1)).alias("n"))
-
-
-def q_monthly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A7 with the trailing-month cutoff
-    ev = spark.read.parquet(_t(sf_dir, "events"))
+    seasonal = seasonal.select(
+        F.lit("season").alias("period_kind"), "event_type", "period", "mean_value", "n"
+    )
     labeled = ev.withColumn(
-        "month_label", F.make_date(F.year("ts"), F.month("ts"), F.lit(15))
+        "period", F.make_date(F.year("ts"), F.month("ts"), F.lit(15))
     )
     # 5-day trailing cutoff (the operator default is the reference's 30
     # days, SDS_transects.py:660-661; events span one month so the query
     # uses a band that keeps the check non-degenerate). The cutoff scalar
     # stays in the plan (broadcast 1-row cross join) — no driver action.
     cutoff = labeled.agg(F.date_sub(F.max(F.col("ts").cast("date")), 5).alias("_cut"))
-    return (
+    monthly = (
         labeled.crossJoin(F.broadcast(cutoff))
-        .filter(F.col("month_label") <= F.col("_cut"))
-        .groupBy("event_type", "month_label")
+        .filter(F.col("period") <= F.col("_cut"))
+        .groupBy("event_type", "period")
         .agg(F.round(F.avg("value"), 4).alias("mean_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.lit("month").alias("period_kind"), "event_type", "period", "mean_value", "n")
     )
+    return seasonal.unionByName(monthly)
 
 
 def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,6 +896,27 @@ def q_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_assign(d, k=128, bands=32)
 
 
+def q_shoreline_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R10/R12 + J7 + the global-Otsu path, DuckDB-value-hash-checked: the
+    # DISTINCT sub-pixel crossing-point set of the full extraction
+    # (halo on, min_contour_len_px=0 so the polyline-structure-only parts
+    # of the kernel drop out) equals the SQL-computable set of
+    # sign-change grid-edge interpolations under the same per-scene
+    # 256-bin NumPy-faithful Otsu threshold, NaN-cell suppression,
+    # cloud-proximity anti-join and ownership rule.
+    from coastsat_spark.operators import raster
+
+    px = _doc_pixels(spark, sf_dir)
+    s = raster.ShorelineSettings(grid_log2=_OR_GRID_LOG2, min_contour_len_px=0.0)
+    pts = raster.extract_shorelines(px, s)
+    return pts.select(
+        "tile", "scene_month",
+        F.round("px_x", 6).alias("px_x"),
+        F.round("px_y", 6).alias("px_y"),
+        F.round("t_mndwi", 6).alias("t_mndwi"),
+    ).distinct()
+
+
 def q_classify_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # R6/J8 over the relational pixel mirror so DuckDB can replay the
     # whole chain — 20-feature cube, literal-weight linear inference,
@@ -1007,7 +1049,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "timestep_hist": q_timestep_hist,
         "seasonal_avg": q_seasonal_avg,
-        "monthly_avg": q_monthly_avg,
         "trend": q_trend,
         "error_stats": q_error_stats,
         "asof_join": q_asof_join,
@@ -1042,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_assign": q_minhash_assign,
         "neardup_pairs": q_neardup_pairs,
         "classify_scenes": q_classify_scenes,
+        "shoreline_crossings": q_shoreline_crossings,
         "shoreline_refined": q_shoreline_refined,
         "pansharpen_scenes": q_pansharpen,
         "qc_timeseries": q_qc_timeseries,
@@ -1233,7 +1275,12 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """
     from coastsat_spark.operators.classify import classify_oracle_sql
+    from coastsat_spark.operators.raster import crossings_oracle_sql
 
+    shoreline_crossings_sql = f"""
+        WITH {obs_ctes},
+        {crossings_oracle_sql(_OR_GRID_LOG2)}
+    """
     classify_scenes_sql = f"""
         WITH {obs_ctes},
         {classify_oracle_sql("px", _OR_GRID_LOG2)}
@@ -1256,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         "rescale_stretch": rescale_stretch_sql,
         "class_histogram": class_histogram_sql,
         "classify_scenes": classify_scenes_sql,
+        "shoreline_crossings": shoreline_crossings_sql,
         "qc_timeseries": qc_timeseries_sql,
         "text_extraction": """
             WITH h AS (
@@ -1406,7 +1454,17 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY count(*) DESC, o_orderpriority) AS rn
                 FROM orders GROUP BY o_orderstatus, o_orderpriority) WHERE rn = 1
         """,
-        "sessionize": _sessionize_sql("events", gap_seconds=1800.0),
+        "sessionize": f"""
+            WITH b AS ({_sessionize_sql("events", gap_seconds=1800.0)}),
+            sw AS ({_sessionize_sql("events", gap_seconds=1800.0, boundary=">=")})
+            SELECT 'batch' AS engine, user_id, start_ts AS session_start,
+                   n_events, total_value
+            FROM b
+            UNION ALL
+            SELECT 'session_window' AS engine, user_id, start_ts AS session_start,
+                   n_events, total_value
+            FROM sw
+        """,
         "dedup_sessions": """
             WITH d AS (
               SELECT user_id, event_id, ts, value,
@@ -1433,25 +1491,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "seasonal_avg": """
-            SELECT event_type,
+            SELECT 'season' AS period_kind, event_type,
                    make_date(CAST(year(ts) + CASE WHEN month(ts) = 12 THEN 1 ELSE 0 END AS INT),
                              CASE WHEN month(ts) IN (12, 1, 2) THEN 1
                                   WHEN month(ts) IN (3, 4, 5) THEN 4
                                   WHEN month(ts) IN (6, 7, 8) THEN 7
-                                  ELSE 10 END, 1) AS season,
+                                  ELSE 10 END, 1) AS period,
                    round(avg(value), 4) AS mean_value, count(*) AS n
-            FROM events GROUP BY event_type, season
-        """,
-        "monthly_avg": """
-            WITH labeled AS (
-              SELECT event_type, value,
-                     make_date(CAST(year(ts) AS INT), CAST(month(ts) AS INT), 15) AS month_label
-              FROM events
-            ), cutoff AS (SELECT max(ts::DATE) - INTERVAL 5 DAY AS c FROM events)
-            SELECT event_type, month_label,
-                   round(avg(value), 4) AS mean_value, count(*) AS n
-            FROM labeled, cutoff WHERE month_label <= c
-            GROUP BY event_type, month_label
+            FROM events GROUP BY event_type, period
+            UNION ALL
+            SELECT 'month', event_type, period, mean_value, n FROM (
+              WITH labeled AS (
+                SELECT event_type, value,
+                       make_date(CAST(year(ts) AS INT), CAST(month(ts) AS INT), 15) AS period
+                FROM events
+              ), cutoff AS (SELECT max(ts::DATE) - INTERVAL 5 DAY AS c FROM events)
+              SELECT event_type, period,
+                     round(avg(value), 4) AS mean_value, count(*) AS n
+              FROM labeled, cutoff WHERE period <= c
+              GROUP BY event_type, period
+            )
         """,
         "trend": """
             WITH d AS (

@@ -70,9 +70,15 @@ def main() -> None:
 
     def run_shorelines():
         prepared = tiling.prepare_documents(docs)
-        px = raster.aggregate_pixels(prepared)
+        # persist at the pixel-aggregate boundary (same materialization
+        # run_flagship uses): the halo ghost branch reads pixels a second
+        # time, and without the persist that second read re-scans docs
+        px = raster.aggregate_pixels(prepared).persist()
         q = raster.scene_quality(px, raster.ShorelineSettings())
-        return raster.extract_shorelines(px, quality=q).count()
+        try:
+            return raster.extract_shorelines(px, quality=q).count()
+        finally:
+            px.unpersist()
 
     def run_text_extract():
         from coastsat_spark.functions.text import extract_text

@@ -183,10 +183,14 @@ def with_halo(
     return pixels.unionByName(gh.select(*pixels.columns))
 
 
-_SHORELINE_SCHEMA = (
-    "tile long, scene_month timestamp, contour_id int, point_idx int, "
-    "px_x double, px_y double, lon double, lat double, t_mndwi double"
-)
+def _shoreline_schema(pixels: DataFrame) -> str:
+    # scene_month is a timestamp on the webpages path but a derived bigint
+    # on the oracle-mirror path; carry the input's type through
+    mt = dict(pixels.dtypes).get("scene_month", "timestamp")
+    return (
+        f"tile long, scene_month {mt}, contour_id int, point_idx int, "
+        "px_x double, px_y double, lon double, lat double, t_mndwi double"
+    )
 
 
 def scene_extract_pdf(
@@ -237,7 +241,7 @@ def scene_extract_pdf(
             k: pd.Series(dtype=t)
             for k, t in [
                 ("tile", "int64"),
-                ("scene_month", "datetime64[us]"),
+                ("scene_month", pdf["scene_month"].dtype),
                 ("contour_id", "int32"),
                 ("point_idx", "int32"),
                 ("px_x", "float64"),
@@ -455,6 +459,10 @@ def extract_shorelines(
     `halo=True` (default) unions 1-px ghost rows from the 8 neighbor
     tiles (`with_halo`) before the scene group, so contours stitch across
     tile borders and border fragments keep their full visible length.
+    NOTE: the halo union reads `pixels` twice (core + ghost branches) and
+    Catalyst pushes the ghost branch's border filter below the aggregate,
+    defeating exchange reuse — persist the pixel aggregate before calling
+    (run_flagship and bench.py do) or accept a second upstream pass.
 
     `quality` (from scene_quality) pre-filters scenes relationally; pass
     None to gate inside the kernel only. `reference` is a small pandas
@@ -482,4 +490,173 @@ def extract_shorelines(
         rp = ref_map.get(int(pdf["tile"].iloc[0])) if ref_map is not None else None
         return scene_extract_pdf(pdf, s, rp)
 
-    return pixels.groupBy("tile", "scene_month").applyInPandas(fn, schema=_SHORELINE_SCHEMA)
+    return pixels.groupBy("tile", "scene_month").applyInPandas(
+        fn, schema=_shoreline_schema(pixels)
+    )
+
+
+def crossings_oracle_sql(grid_log2: int, s: "ShorelineSettings | None" = None) -> str:
+    """DuckDB mirror of the marching-squares crossing-point SET that
+    `extract_shorelines` emits (min_contour_len_px=0, global-Otsu path,
+    halo on): thresholding (bit-faithful 256-bin NumPy histogram
+    semantics incl. the fast-path FP corrections), sub-pixel linear
+    interpolation on sign-change grid edges (R10/R12,
+    SDS_shoreline.py:433-436), NaN-cell suppression, the J7
+    cloud-proximity anti-join, and the per-tile ownership rule — all as
+    SQL over the relational pixel CTE `px`.
+
+    The polyline STRUCTURE (contour_id/point_idx stitching order) is the
+    only part not mirrored: the Spark query projects the distinct point
+    set, which this SQL reproduces exactly. Candidate owner tiles per
+    edge are the (<=2) tiles containing its endpoint pixels; each
+    computes the crossing with ITS OWN per-scene threshold and keeps the
+    point only if it falls in the tile's half-open core box — the same
+    rule the kernel applies, including the (rare, documented) border
+    cases where differing neighbor thresholds emit zero or two points.
+    """
+    s = s or ShorelineSettings(grid_log2=grid_log2)
+    g = 1 << grid_log2
+    XB_MASK = (1 << cells.X_BITS) - 1
+    total_px = g * g
+    # np.histogram fast path: bin = trunc((v-lo)*norm), ==nbins -> -1,
+    # then -1 where v < edge[bin], +1 where v >= edge[bin+1] (not last)
+    return f"""
+        f AS (
+          SELECT tile, scene_month,
+                 ((tile >> {cells.X_BITS}) & {XB_MASK}) * {g} + px_col AS gx,
+                 (tile & {XB_MASK}) * {g} + px_row AS gy,
+                 CASE WHEN cloud_frac > {s.cloud_mask_frac!r} THEN NULL
+                      ELSE (swir - green) / (swir + green) END AS v,
+                 CASE WHEN cloud_frac > {s.cloud_mask_frac!r} THEN 1 ELSE 0 END AS cloud
+          FROM px
+        ), sc AS (
+          SELECT tile, scene_month,
+                 count(*) AS filled,
+                 sum(cloud) AS cloud_px,
+                 min(v) AS lo, max(v) AS hi,
+                 count(v) AS n_vals,
+                 sum(CASE WHEN v < {s.water_cut!r} THEN 1 ELSE 0 END) AS water_px,
+                 sum(CASE WHEN v > {s.land_cut!r} THEN 1 ELSE 0 END) AS land_px
+          FROM f GROUP BY 1, 2
+        ), gated AS (
+          SELECT * FROM sc
+          WHERE filled > 0
+            AND filled / {float(total_px)!r} >= {s.min_filled_frac!r}
+            AND cloud_px / filled <= {s.max_cloud_frac!r}
+            AND water_px >= {s.min_water_px} AND land_px >= {s.min_land_px}
+            AND hi > lo
+        ), b0 AS (
+          SELECT f.tile, f.scene_month, f.v, sc.lo, sc.hi,
+                 CAST(floor((f.v - sc.lo) * (256.0 / (sc.hi - sc.lo))) AS INT) AS k0
+          FROM f JOIN gated sc USING (tile, scene_month)
+          WHERE f.v IS NOT NULL
+        ), b1 AS (
+          SELECT *, CASE WHEN k0 = 256 THEN 255 ELSE k0 END AS k1 FROM b0
+        ), b2 AS (
+          SELECT tile, scene_month,
+                 CASE WHEN v < (k1 * ((hi - lo) / 256.0) + lo) THEN k1 - 1
+                      WHEN k1 <> 255
+                           AND v >= ((k1 + 1) * ((hi - lo) / 256.0) + lo) THEN k1 + 1
+                      ELSE k1 END AS k
+          FROM b1
+        ), bins AS (SELECT CAST(range AS INT) AS k FROM range(256)
+        ), hist AS (
+          SELECT g.tile, g.scene_month, b.k, g.lo, g.hi,
+                 CAST(count(b2.k) AS DOUBLE) AS cnt
+          FROM gated g CROSS JOIN bins b
+          LEFT JOIN b2 ON b2.tile = g.tile AND b2.scene_month = g.scene_month
+                      AND b2.k = b.k
+          GROUP BY 1, 2, 3, 4, 5
+        ), cum AS (
+          SELECT tile, scene_month, k, lo, hi,
+                 sum(cnt) OVER w AS w0,
+                 sum(cnt * ((k * ((hi - lo) / 256.0) + lo
+                             + (k + 1) * ((hi - lo) / 256.0) + lo) / 2.0)) OVER w AS m,
+                 sum(cnt) OVER t AS n_tot,
+                 sum(cnt * ((k * ((hi - lo) / 256.0) + lo
+                             + (k + 1) * ((hi - lo) / 256.0) + lo) / 2.0)) OVER t AS m_tot
+          FROM hist
+          WINDOW w AS (PARTITION BY tile, scene_month ORDER BY k
+                       ROWS UNBOUNDED PRECEDING),
+                 t AS (PARTITION BY tile, scene_month)
+        ), betw AS (
+          SELECT tile, scene_month, k, lo, hi,
+                 w0 * (n_tot - w0)
+                 * pow(CASE WHEN w0 > 0 THEN m / greatest(w0, 1.0) ELSE 0.0 END
+                       - CASE WHEN (n_tot - w0) > 0
+                              THEN (m_tot - m) / greatest(n_tot - w0, 1.0)
+                              ELSE 0.0 END, 2) AS between_var
+          FROM cum WHERE k <= 254
+        ), otsu AS (
+          SELECT tile, scene_month,
+                 (k * ((hi - lo) / 256.0) + lo
+                  + (k + 1) * ((hi - lo) / 256.0) + lo) / 2.0 AS t
+          FROM (SELECT *, row_number() OVER (PARTITION BY tile, scene_month
+                                             ORDER BY between_var DESC, k ASC) AS rn
+                FROM betw)
+          WHERE rn = 1
+        ), valid_cells AS (
+          SELECT p00.scene_month, p00.gy AS r, p00.gx AS c
+          FROM f p00
+          JOIN f p01 ON p01.scene_month = p00.scene_month
+                    AND p01.gy = p00.gy AND p01.gx = p00.gx + 1
+          JOIN f p10 ON p10.scene_month = p00.scene_month
+                    AND p10.gy = p00.gy + 1 AND p10.gx = p00.gx
+          JOIN f p11 ON p11.scene_month = p00.scene_month
+                    AND p11.gy = p00.gy + 1 AND p11.gx = p00.gx + 1
+          WHERE p00.v IS NOT NULL AND p01.v IS NOT NULL
+            AND p10.v IS NOT NULL AND p11.v IS NOT NULL
+        ), ed AS (
+          SELECT a.scene_month, a.gx, a.gy, 'v' AS dir, a.v AS va, b.v AS vb,
+                 a.tile AS ta, b.tile AS tb
+          FROM f a JOIN f b ON b.scene_month = a.scene_month
+                           AND b.gx = a.gx AND b.gy = a.gy + 1
+          WHERE a.v IS NOT NULL AND b.v IS NOT NULL
+          UNION ALL
+          SELECT a.scene_month, a.gx, a.gy, 'h', a.v, b.v, a.tile, b.tile
+          FROM f a JOIN f b ON b.scene_month = a.scene_month
+                           AND b.gy = a.gy AND b.gx = a.gx + 1
+          WHERE a.v IS NOT NULL AND b.v IS NOT NULL
+        ), cand AS (
+          SELECT DISTINCT e.scene_month, e.gx, e.gy, e.dir, e.va, e.vb, ct.tile
+          FROM ed e
+          CROSS JOIN LATERAL (SELECT e.ta AS tile UNION SELECT e.tb) ct
+        ), pts AS (
+          SELECT c.tile, c.scene_month,
+                 CASE WHEN c.dir = 'v' THEN c.gy + (o.t - c.va) / (c.vb - c.va)
+                      ELSE CAST(c.gy AS DOUBLE) END AS pgy,
+                 CASE WHEN c.dir = 'h' THEN c.gx + (o.t - c.va) / (c.vb - c.va)
+                      ELSE CAST(c.gx AS DOUBLE) END AS pgx,
+                 c.gx, c.gy, c.dir, o.t
+          FROM cand c JOIN otsu o USING (tile, scene_month)
+          WHERE (c.va > o.t) <> (c.vb > o.t)
+        ), owned AS (
+          SELECT p.*,
+                 p.pgy - (p.tile & {XB_MASK}) * {g} AS fy,
+                 p.pgx - ((p.tile >> {cells.X_BITS}) & {XB_MASK}) * {g} AS fx
+          FROM pts p
+          WHERE p.pgy - (p.tile & {XB_MASK}) * {g} >= -0.5
+            AND p.pgy - (p.tile & {XB_MASK}) * {g} < {g} - 0.5
+            AND p.pgx - ((p.tile >> {cells.X_BITS}) & {XB_MASK}) * {g} >= -0.5
+            AND p.pgx - ((p.tile >> {cells.X_BITS}) & {XB_MASK}) * {g} < {g} - 0.5
+        ), kept AS (
+          SELECT o.* FROM owned o
+          WHERE EXISTS (
+            SELECT 1 FROM valid_cells vc
+            WHERE vc.scene_month = o.scene_month
+              AND ((o.dir = 'v' AND vc.r = o.gy AND vc.c IN (o.gx - 1, o.gx))
+                OR (o.dir = 'h' AND vc.c = o.gx AND vc.r IN (o.gy - 1, o.gy)))
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM f cl
+            WHERE cl.scene_month = o.scene_month AND cl.cloud = 1
+              AND (cl.gy - o.pgy) * (cl.gy - o.pgy)
+                + (cl.gx - o.pgx) * (cl.gx - o.pgx)
+                  <= {s.dist_cloud_px!r} * {s.dist_cloud_px!r}
+          )
+        )
+        SELECT DISTINCT tile, scene_month,
+               round(fx, 6) AS px_x, round(fy, 6) AS px_y,
+               round(t, 6) AS t_mndwi
+        FROM kept
+    """

@@ -501,15 +501,23 @@ def sessionize_sql(
     ts_col: str = "ts",
     order_tiebreaker: str = "event_id",
     value_col: str = "value",
+    boundary: str = ">",
 ) -> str:
-    """DuckDB mirror of `sessionize` (oracle): epoch_us = unix_micros."""
+    """DuckDB mirror of `sessionize` (oracle): epoch_us = unix_micros.
+
+    `boundary='>'` mirrors the batch operator (new session only when the
+    gap strictly exceeds `gap_seconds`); `boundary='>='` mirrors Spark's
+    native half-open `session_window` (a gap of exactly `gap_seconds`
+    starts a new session) — the streaming analog's batch evaluation.
+    """
+    assert boundary in (">", ">=")
     gap_us = int(round(gap_seconds * 1_000_000))
     return f"""
 WITH g AS (
   SELECT {user_col}, {ts_col}, {order_tiebreaker}, {value_col},
          epoch_us({ts_col}) AS us,
          CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
-                   OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w > {gap_us}
+                   OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w {boundary} {gap_us}
               THEN 1 ELSE 0 END AS new_sess
   FROM {table}
   WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col} ASC, {order_tiebreaker} ASC)
