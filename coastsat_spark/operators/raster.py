@@ -588,13 +588,19 @@ def crossings_oracle_sql(grid_log2: int, s: "ShorelineSettings | None" = None) -
                               ELSE 0.0 END, 2) AS between_var
           FROM cum WHERE k <= 254
         ), otsu AS (
+          -- numpy's argmax takes the FIRST bin of the max plateau (the
+          -- plateau over empty bins is bit-identical in the incremental
+          -- cumsum), but DuckDB's windowed sums carry last-bit jitter —
+          -- so take the smallest k within a 1e-12 relative band of the
+          -- max instead of ordering on the raw float
           SELECT tile, scene_month,
                  (k * ((hi - lo) / 256.0) + lo
                   + (k + 1) * ((hi - lo) / 256.0) + lo) / 2.0 AS t
-          FROM (SELECT *, row_number() OVER (PARTITION BY tile, scene_month
-                                             ORDER BY between_var DESC, k ASC) AS rn
+          FROM (SELECT *,
+                       max(between_var) OVER (PARTITION BY tile, scene_month) AS mxv
                 FROM betw)
-          WHERE rn = 1
+          WHERE between_var >= mxv - abs(mxv) * 1e-12
+          QUALIFY row_number() OVER (PARTITION BY tile, scene_month ORDER BY k ASC) = 1
         ), valid_cells AS (
           SELECT p00.scene_month, p00.gy AS r, p00.gx AS c
           FROM f p00

@@ -304,3 +304,66 @@ def test_halo_stitches_and_rescues_border_fragments(spark):
         b_pts[["lon", "lat"]].round(9), how="left", indicator=True
     )
     assert (merged["_merge"] == "both").all()
+
+
+def test_crossings_oracle_sql_matches_kernel():
+    """Randomized parity: the DuckDB crossing-set mirror
+    (raster.crossings_oracle_sql — NumPy-faithful Otsu, edge
+    interpolation, NaN suppression, J7, ownership) reproduces the
+    kernel's DISTINCT point set on dense multi-tile scenes with clouds,
+    holes and halo stitching."""
+    import duckdb
+
+    total = 0
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        g, res = 4, 6
+        tiles = [
+            res * (1 << cells.R_BITS) + 10 * (1 << cells.X_BITS) + 20,
+            res * (1 << cells.R_BITS) + 11 * (1 << cells.X_BITS) + 20,
+            res * (1 << cells.R_BITS) + 10 * (1 << cells.X_BITS) + 21,
+        ]
+        rows = []
+        for ti, t in enumerate(tiles):
+            for r in range(g):
+                for c in range(g):
+                    if rng.random() < 0.92:
+                        # water->land gradient spanning both class gates
+                        # within every tile -> many crossings per scene
+                        green = 120.0 + rng.normal(0, 4)
+                        swir = 40.0 + 160.0 * (r + c) / 6.0 + rng.normal(0, 20)
+                        cf = 1.0 if rng.random() < 0.06 else 0.0
+                        rows.append((t, 0, r, c, green, swir, 2, cf))
+        px = pd.DataFrame(
+            rows,
+            columns=["tile", "scene_month", "px_row", "px_col", "green", "swir", "n_docs", "cloud_frac"],
+        )
+
+        s = raster.ShorelineSettings(grid_log2=2, min_contour_len_px=0.0)
+        hp = _halo_pdf(px, g)
+        outs = [
+            raster.scene_extract_pdf(grp.reset_index(drop=True), s)
+            for _, grp in hp.groupby(["tile", "scene_month"])
+        ]
+        kern = pd.concat(outs, ignore_index=True)
+        kern = kern[["tile", "scene_month", "px_x", "px_y", "t_mndwi"]].round(6).drop_duplicates()
+
+        con = duckdb.connect()
+        con.register("px_src", px)
+        orc = con.execute(
+            "WITH px AS (SELECT * FROM px_src), " + raster.crossings_oracle_sql(2)
+        ).df()
+
+        k = kern.sort_values(["tile", "scene_month", "px_x", "px_y"]).reset_index(drop=True)
+        o = orc.sort_values(["tile", "scene_month", "px_x", "px_y"]).reset_index(drop=True)
+        assert len(k) == len(o), (seed, len(k), len(o))
+        if len(k):
+            assert (k["tile"].to_numpy() == o["tile"].to_numpy()).all(), seed
+            assert (k["scene_month"].to_numpy() == o["scene_month"].to_numpy()).all(), seed
+            assert np.allclose(
+                k[["px_x", "px_y", "t_mndwi"]].to_numpy(),
+                o[["px_x", "px_y", "t_mndwi"]].to_numpy(),
+                atol=2e-6,
+            ), seed
+        total += len(k)
+    assert total > 200, total  # the cases must actually exercise crossings

@@ -1,0 +1,85 @@
+"""Round-4 performance evidence suite, gated on a quiet ambient window.
+
+Loops until the single-thread DRAM triad (median of 3) exceeds the
+threshold, then runs back-to-back:
+  1. minhash decomposition legs (N=4, N=16) -> BENCH/minhash_decomp_N{4,16}.json
+  2. multi-process DRAM-bandwidth recalibration -> BENCH/membw_calibration.json
+     (the r3 artifact was measured inside co-tenant bursts and is
+     non-monotonic garbage: 0.07 -> 9.61 -> 1.79 GB/s)
+  3. one fresh scaling window at the current code -> BENCH/scaling_r4w1.json
+     (r3 minima are NOT merged in: the flagship changed — halo stitching)
+
+Usage: python tools/r4_perf_suite.py [threshold_gbps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def triad_once(n: int = 8_000_000) -> float:
+    a = np.random.rand(n)
+    b = np.random.rand(n)
+    c = np.empty_like(a)
+    tb = np.empty_like(a)
+    np.multiply(b, 2.0, out=tb)
+    t0 = time.perf_counter()
+    np.add(a, tb, out=c)
+    return (3 * 8 * n / (time.perf_counter() - t0)) / 1e9
+
+
+def quiet(thr: float) -> bool:
+    vals = []
+    for _ in range(3):
+        vals.append(triad_once())
+        time.sleep(2)
+    med = sorted(vals)[1]
+    print(f"ambient median {med:.3f} GB/s (thr {thr})", flush=True)
+    return med > thr
+
+
+def run(cmd: list[str], log: str, timeout: int = 5400) -> int:
+    with open(log, "w") as f:
+        return subprocess.run(
+            [sys.executable] + cmd, stdout=f, stderr=subprocess.STDOUT,
+            timeout=timeout, cwd=REPO,
+        ).returncode
+
+
+def main() -> None:
+    thr = float(sys.argv[1]) if len(sys.argv) > 1 else 0.3
+    while not quiet(thr):
+        time.sleep(120)
+
+    print("== decomposition legs ==", flush=True)
+    for cpus in (4, 16):
+        rc = run(["tools/minhash_decomp.py", "4", str(cpus),
+                  f"BENCH/minhash_decomp_N{cpus}.json"], f"/tmp/decomp_n{cpus}.log")
+        print(f"decomp N={cpus}: rc={rc}", flush=True)
+
+    print("== membw recalibration ==", flush=True)
+    rc = run(["tools/membw_calibration.py"], "/tmp/membw.log", timeout=1800)
+    print(f"membw: rc={rc}", flush=True)
+
+    print("== scaling window (r4 code) ==", flush=True)
+    rc = run(["tools/scaling_study.py", "4", "4", "2"], "/tmp/scaling_r4.log")
+    print(f"scaling: rc={rc}", flush=True)
+    src = os.path.join(REPO, "BENCH", "scaling.json")
+    if rc == 0 and os.path.exists(src):
+        shutil.copy(src, os.path.join(REPO, "BENCH", "scaling_r4w1.json"))
+        with open(src) as f:
+            print(json.dumps(json.load(f).get("efficiency_per_query", {})), flush=True)
+    print("suite done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
