@@ -157,3 +157,17 @@ def test_lsh_dedup_distinct_carries_only_ids(spark):
     for line in plan2.splitlines():
         if "HashAggregate" in line and "Keys" in line:
             assert "c_emb" not in line and "embedding" not in line
+
+
+def test_halo_ghosts_are_jvm_broadcast_only(spark, web):
+    """with_halo's ghost generation must stay JVM-side (no Python eval
+    before the kernel) and join the 8-row offset table via broadcast —
+    the ghosts ride the existing scene-group shuffle."""
+    px = raster.aggregate_pixels(tiling.prepare_documents(web))
+    out = raster.extract_shorelines(px)
+    plan = _plan(out)
+    kernel_pos = plan.find("FlatMapGroupsInPandas")
+    assert kernel_pos != -1
+    below = plan[kernel_pos:]
+    assert "ArrowEvalPython" not in below and "BatchEvalPython" not in below
+    assert "BroadcastNestedLoopJoin" in plan  # 8-row offsets, broadcast

@@ -367,3 +367,37 @@ def test_crossings_oracle_sql_matches_kernel():
             ), seed
         total += len(k)
     assert total > 200, total  # the cases must actually exercise crossings
+
+
+def test_with_halo_wraps_lon_and_clamps_lat(spark):
+    """Ghost generation at the grid edges: longitude wraps (x=0 tile gets
+    ghosts keyed from x=n-1) and latitude clamps (y=0 tile emits no
+    ghosts beyond the pole) — same contract as cells.np_neighbors."""
+    res = cells.TILE_RES
+    n = 1 << res
+    g = 8
+    # tile at x=0, y=0 (NW corner of the grid)
+    corner = res * (1 << cells.R_BITS) + 0 * (1 << cells.X_BITS) + 0
+    # its west neighbor across the antimeridian: x = n-1, same y
+    west = res * (1 << cells.R_BITS) + (n - 1) * (1 << cells.X_BITS) + 0
+    pdf = pd.DataFrame(
+        {
+            "tile": [corner],
+            "scene_month": [pd.Timestamp("2022-01-01")],
+            "px_row": [0],
+            "px_col": [0],  # NW corner pixel: borders both edges
+            "green": [100.0],
+            "swir": [50.0],
+            "n_docs": [1],
+            "cloud_frac": [0.0],
+        }
+    )
+    out = raster.with_halo(spark.createDataFrame(pdf), grid_log2=3).toPandas()
+    ghosts = out[out["tile"] != corner]
+    # a (row 0, col 0) pixel of tile (0, 0) can ghost ONLY westward: the
+    # north / northwest neighbors are beyond the pole (lat clamps), the
+    # south neighbor needs our row g-1, the east our col g-1
+    assert len(ghosts) == 1
+    w = ghosts.iloc[0]
+    assert w["tile"] == west  # lon wrapped to x = n-1
+    assert w["px_col"] == g and w["px_row"] == 0  # our col 0 = west's col-g ghost

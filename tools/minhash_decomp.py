@@ -81,15 +81,18 @@ def main() -> None:
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
     k, bands = 64, 8  # the scaling-study config
 
+    conf = {
+        "spark.ui.showConsoleProgress": "false",
+        # the session default disables the UI; the REST stage metrics
+        # need it (measurement-only sessions, no overhead concern)
+        "spark.ui.enabled": "true",
+    }
+    codec = os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC")
+    if codec:  # A/B the shuffle codec (lz4 default vs zstd etc.)
+        conf["spark.io.compression.codec"] = codec
     spark = get_spark(
         app_name="minhash_decomp", cpus=cpus, shuffle_partitions=cpus,
-        extra_conf={
-            "spark.ui.showConsoleProgress": "false",
-            # the session default disables the UI; the REST stage metrics
-            # need it (measurement-only sessions, no overhead concern)
-            "spark.ui.enabled": "true",
-        },
-        tmpfs_local_dir=True,
+        extra_conf=conf, tmpfs_local_dir=True,
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(ensure_webpages(spark, sf))
