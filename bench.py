@@ -122,19 +122,12 @@ def main() -> None:
 
     def _triad_gbps(n: int = 8_000_000) -> float:
         # one-shot single-thread DRAM-triad sample: a co-tenant on this
-        # shared host saturates the memory bus in bursts (observed 30x
+        # shared host saturates the memory bus in bursts (observed 30x+
         # degradation, BENCH/noise_log.jsonl); recording the ambient
         # bandwidth alongside the timings makes the artifact interpretable
-        import numpy as np
+        from tools.noise_probe import triad_gbps
 
-        a = np.random.rand(n)
-        b = np.random.rand(n)
-        c = np.empty_like(a)
-        tb = np.empty_like(a)
-        np.multiply(b, 2.0, out=tb)  # hoisted: keep the timed region 3-stream
-        t0 = time.perf_counter()
-        np.add(a, tb, out=c)
-        return round((3 * 8 * n / (time.perf_counter() - t0)) / 1e9, 3)
+        return round(triad_gbps(n), 3)
 
     trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
     noise_before = _triad_gbps()

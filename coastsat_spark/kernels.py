@@ -382,15 +382,35 @@ def within_distance(mask: np.ndarray, radius: float) -> np.ndarray:
 def buffer_mask(shape: tuple[int, int], rows: np.ndarray, cols: np.ndarray, radius: float) -> np.ndarray:
     """R7: boolean mask of pixels within `radius` of any reference point
     (create_shoreline_buffer analog, SDS_shoreline.py:525-584 — disk
-    dilation expressed as a distance threshold). Truncated separable
-    distance transform, O(px * radius) — independent of the reference
-    point count, unlike the former O(px * points) matrix."""
+    dilation expressed as a distance threshold).
+
+    In-range integer points (every current caller) use the truncated
+    separable distance transform — O(px * radius), independent of the
+    point count. Sub-pixel or out-of-grid points fall back to the exact
+    brute-force distance matrix (the original contract: arbitrary float
+    coordinates, no silent wrap/truncation)."""
     out = np.zeros(shape, dtype=bool)
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
     if len(rows) == 0:
         return out
-    seed = np.zeros(shape, dtype=bool)
-    seed[np.asarray(rows, dtype=np.int64), np.asarray(cols, dtype=np.int64)] = True
-    return within_distance(seed, radius)
+    h, w = shape
+    ri = rows.astype(np.int64)
+    ci = cols.astype(np.int64)
+    grid_aligned = (
+        np.array_equal(ri, rows) and np.array_equal(ci, cols)
+        and (ri >= 0).all() and (ri < h).all()
+        and (ci >= 0).all() and (ci < w).all()
+    )
+    if grid_aligned:
+        seed = np.zeros(shape, dtype=bool)
+        seed[ri, ci] = True
+        return within_distance(seed, radius)
+    yy, xx = np.mgrid[0:h, 0:w]
+    d2 = (yy[..., None] - rows[None, None, :]) ** 2 + (
+        xx[..., None] - cols[None, None, :]
+    ) ** 2
+    return d2.min(axis=2) <= radius * radius
 
 
 def rescale_intensity(im: np.ndarray, prc_clip: float = 99.9) -> np.ndarray:

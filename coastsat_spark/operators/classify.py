@@ -256,7 +256,7 @@ def classify_oracle_sql(px_cte: str, grid_log2: int, model: np.ndarray | None = 
                  {", ".join(BANDS)},
                  {", ".join(f'{e} AS nd{i}' for i, e in enumerate(nd_exprs))},
                  cloud_frac
-          FROM px
+          FROM {px_cte}
         ), off(di, dj) AS (VALUES {offs}),
         nb AS (
           SELECT o.tile, o.scene_month, o.px_row, o.px_col,

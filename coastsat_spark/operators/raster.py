@@ -495,7 +495,11 @@ def extract_shorelines(
     )
 
 
-def crossings_oracle_sql(grid_log2: int, s: "ShorelineSettings | None" = None) -> str:
+def crossings_oracle_sql(
+    grid_log2: int,
+    s: "ShorelineSettings | None" = None,
+    tile_res: int = cells.TILE_RES,
+) -> str:
     """DuckDB mirror of the marching-squares crossing-point SET that
     `extract_shorelines` emits (min_contour_len_px=0, global-Otsu path,
     halo on): thresholding (bit-faithful 256-bin NumPy histogram
@@ -518,6 +522,11 @@ def crossings_oracle_sql(grid_log2: int, s: "ShorelineSettings | None" = None) -
     g = 1 << grid_log2
     XB_MASK = (1 << cells.X_BITS) - 1
     total_px = g * g
+    # world width in fine pixels: longitude wraps (with_halo pmods tile
+    # x), so horizontal adjacency, ownership frames and cloud distances
+    # are all computed modulo W — the antimeridian seam stitches exactly
+    # like any interior border
+    W = (1 << tile_res) * g
     # np.histogram fast path: bin = trunc((v-lo)*norm), ==nbins -> -1,
     # then -1 where v < edge[bin], +1 where v >= edge[bin+1] (not last)
     return f"""
@@ -605,11 +614,11 @@ def crossings_oracle_sql(grid_log2: int, s: "ShorelineSettings | None" = None) -
           SELECT p00.scene_month, p00.gy AS r, p00.gx AS c
           FROM f p00
           JOIN f p01 ON p01.scene_month = p00.scene_month
-                    AND p01.gy = p00.gy AND p01.gx = p00.gx + 1
+                    AND p01.gy = p00.gy AND p01.gx = (p00.gx + 1) % {W}
           JOIN f p10 ON p10.scene_month = p00.scene_month
                     AND p10.gy = p00.gy + 1 AND p10.gx = p00.gx
           JOIN f p11 ON p11.scene_month = p00.scene_month
-                    AND p11.gy = p00.gy + 1 AND p11.gx = p00.gx + 1
+                    AND p11.gy = p00.gy + 1 AND p11.gx = (p00.gx + 1) % {W}
           WHERE p00.v IS NOT NULL AND p01.v IS NOT NULL
             AND p10.v IS NOT NULL AND p11.v IS NOT NULL
         ), ed AS (
@@ -621,7 +630,7 @@ def crossings_oracle_sql(grid_log2: int, s: "ShorelineSettings | None" = None) -
           UNION ALL
           SELECT a.scene_month, a.gx, a.gy, 'h', a.v, b.v, a.tile, b.tile
           FROM f a JOIN f b ON b.scene_month = a.scene_month
-                           AND b.gy = a.gy AND b.gx = a.gx + 1
+                           AND b.gy = a.gy AND b.gx = (a.gx + 1) % {W}
           WHERE a.v IS NOT NULL AND b.v IS NOT NULL
         ), cand AS (
           SELECT DISTINCT e.scene_month, e.gx, e.gy, e.dir, e.va, e.vb, ct.tile
@@ -637,27 +646,33 @@ def crossings_oracle_sql(grid_log2: int, s: "ShorelineSettings | None" = None) -
           FROM cand c JOIN otsu o USING (tile, scene_month)
           WHERE (c.va > o.t) <> (c.vb > o.t)
         ), owned AS (
+          -- frame x = minimal wrap representative of (pgx - tile_x*g)
+          -- modulo W, so seam tiles own their ghost-interpolated points
+          -- exactly like interior borders; y never wraps (lat clamps)
           SELECT p.*,
                  p.pgy - (p.tile & {XB_MASK}) * {g} AS fy,
-                 p.pgx - ((p.tile >> {cells.X_BITS}) & {XB_MASK}) * {g} AS fx
+                 (p.pgx - ((p.tile >> {cells.X_BITS}) & {XB_MASK}) * {g})
+                   - {W} * round((p.pgx - ((p.tile >> {cells.X_BITS}) & {XB_MASK}) * {g}) / {W}.0) AS fx
           FROM pts p
           WHERE p.pgy - (p.tile & {XB_MASK}) * {g} >= -0.5
             AND p.pgy - (p.tile & {XB_MASK}) * {g} < {g} - 0.5
-            AND p.pgx - ((p.tile >> {cells.X_BITS}) & {XB_MASK}) * {g} >= -0.5
-            AND p.pgx - ((p.tile >> {cells.X_BITS}) & {XB_MASK}) * {g} < {g} - 0.5
+        ), owned2 AS (
+          SELECT * FROM owned WHERE fx >= -0.5 AND fx < {g} - 0.5
         ), kept AS (
-          SELECT o.* FROM owned o
+          SELECT o.* FROM owned2 o
           WHERE EXISTS (
             SELECT 1 FROM valid_cells vc
             WHERE vc.scene_month = o.scene_month
-              AND ((o.dir = 'v' AND vc.r = o.gy AND vc.c IN (o.gx - 1, o.gx))
+              AND ((o.dir = 'v' AND vc.r = o.gy
+                    AND vc.c IN ((o.gx - 1 + {W}) % {W}, o.gx))
                 OR (o.dir = 'h' AND vc.c = o.gx AND vc.r IN (o.gy - 1, o.gy)))
           )
           AND NOT EXISTS (
             SELECT 1 FROM f cl
             WHERE cl.scene_month = o.scene_month AND cl.cloud = 1
               AND (cl.gy - o.pgy) * (cl.gy - o.pgy)
-                + (cl.gx - o.pgx) * (cl.gx - o.pgx)
+                + ((cl.gx - o.pgx) - {W} * round((cl.gx - o.pgx) / {W}.0))
+                  * ((cl.gx - o.pgx) - {W} * round((cl.gx - o.pgx) / {W}.0))
                   <= {s.dist_cloud_px!r} * {s.dist_cloud_px!r}
           )
         )

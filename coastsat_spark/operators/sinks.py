@@ -245,9 +245,23 @@ def compact_partitions(
     # if the live path is missing, restore it from the backup first
     if os.path.exists(old) and not os.path.exists(path):
         os.rename(old, path)
-    for stale in (tmp, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(old):
+        # backup alongside a live table: either a crash between the swap
+        # and the backup delete (copies agree -> safe to sweep) or a
+        # previous post-swap validation failure that deliberately KEPT
+        # the backup (copies disagree -> deleting it would destroy the
+        # only good data; require manual resolution)
+        live_rows = spark.read.parquet(path).count()
+        bak_rows = spark.read.parquet(old).count()
+        if live_rows != bak_rows:
+            raise RuntimeError(
+                f"compact_partitions: backup {old} ({bak_rows} rows) disagrees "
+                f"with live table {path} ({live_rows} rows) — a previous "
+                f"post-swap validation failed; resolve manually before compacting"
+            )
+        shutil.rmtree(old)
 
     stats = partition_file_stats(path, partition_col)
     target = max(1, target_mb) * 1024 * 1024

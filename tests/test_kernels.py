@@ -278,3 +278,17 @@ def test_within_distance_matches_bruteforce():
         d2 = (yy[..., None] - ys) ** 2 + (xx[..., None] - xs) ** 2
         want = d2.min(axis=2) <= r * r
         assert (got == want).all(), trial
+
+
+def test_buffer_mask_float_and_out_of_range_points():
+    """Sub-pixel / out-of-grid reference points use the exact brute-force
+    fallback (no silent wrap or truncation)."""
+    shape = (6, 6)
+    # float point between centers: exact distances, not truncated
+    got = K.buffer_mask(shape, np.array([2.5]), np.array([2.5]), 0.8)
+    yy, xx = np.mgrid[0:6, 0:6]
+    want = ((yy - 2.5) ** 2 + (xx - 2.5) ** 2) <= 0.64
+    assert (got == want).all()
+    # out-of-grid point must NOT wrap to the opposite edge
+    got2 = K.buffer_mask(shape, np.array([-1]), np.array([0]), 1.0)
+    assert got2[0, 0] and not got2[5, 0]

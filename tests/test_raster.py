@@ -318,10 +318,14 @@ def test_crossings_oracle_sql_matches_kernel():
     for seed in range(20):
         rng = np.random.default_rng(seed)
         g, res = 4, 6
+        n_side = 1 << res
         tiles = [
             res * (1 << cells.R_BITS) + 10 * (1 << cells.X_BITS) + 20,
             res * (1 << cells.R_BITS) + 11 * (1 << cells.X_BITS) + 20,
             res * (1 << cells.R_BITS) + 10 * (1 << cells.X_BITS) + 21,
+            # wrap-adjacent pair across the antimeridian seam (x = n-1, x = 0)
+            res * (1 << cells.R_BITS) + (n_side - 1) * (1 << cells.X_BITS) + 20,
+            res * (1 << cells.R_BITS) + 0 * (1 << cells.X_BITS) + 20,
         ]
         rows = []
         for ti, t in enumerate(tiles):

@@ -263,3 +263,34 @@ def test_compact_partitions_recovers_from_crash_and_stale_dirs(spark, tmp_path):
     sinks.compact_partitions(spark, src, partition_col="m", target_mb=128)
     assert spark.read.parquet(src).count() == rows
     assert not os.path.exists(src + ".precompact")
+
+
+def test_compact_partitions_refuses_to_delete_disagreeing_backup(spark, tmp_path):
+    """A backup kept by a failed post-swap validation must never be swept:
+    when live and backup disagree, compact_partitions raises instead of
+    deleting the only good copy."""
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from coastsat_spark.operators import sinks
+
+    src = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 1000, 1, 2)
+        .withColumn("m", F.lit("2024-01"))
+        .withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+    )
+    df.write.partitionBy("m").parquet(src)
+    # backup with DIFFERENT contents (simulates corrupt live after a
+    # failed post-swap check)
+    spark.range(0, 500, 1, 1).withColumn("m", F.lit("2024-01")).withColumn(
+        "payload", F.sha2(F.col("id").cast("string"), 256)
+    ).write.partitionBy("m").parquet(src + ".precompact")
+
+    with _pytest.raises(RuntimeError, match="disagrees"):
+        sinks.compact_partitions(spark, src, partition_col="m")
+    import os
+
+    assert os.path.exists(src + ".precompact")  # backup preserved

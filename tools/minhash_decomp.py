@@ -39,15 +39,11 @@ from coastsat_spark.operators import dedup
 from coastsat_spark.session import get_spark
 
 
+from tools.noise_probe import triad_gbps
+
+
 def triad_once(n: int = 8_000_000) -> float:
-    a = np.random.rand(n)
-    b = np.random.rand(n)
-    c = np.empty_like(a)
-    tb = np.empty_like(a)
-    np.multiply(b, 2.0, out=tb)
-    t0 = time.perf_counter()
-    np.add(a, tb, out=c)
-    return (3 * 8 * n / (time.perf_counter() - t0)) / 1e9
+    return triad_gbps(n)
 
 
 class AmbientSampler(threading.Thread):

@@ -22,6 +22,10 @@ LOG = os.path.join(REPO, "BENCH", "noise_log.jsonl")
 
 
 def triad_gbps(n: int = 20_000_000) -> float:
+    """Single-thread 3-stream DRAM triad sample — THE ambient-bandwidth
+    probe. This is the one implementation; bench.py and the decomposition
+    tools import it so the numbers stay comparable across artifacts.
+    """
     a = np.random.rand(n)
     b = np.random.rand(n)
     c = np.empty_like(a)

@@ -26,15 +26,12 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+sys.path.insert(0, REPO)
+from tools.noise_probe import triad_gbps  # noqa: E402  (single probe impl)
+
+
 def triad_once(n: int = 8_000_000) -> float:
-    a = np.random.rand(n)
-    b = np.random.rand(n)
-    c = np.empty_like(a)
-    tb = np.empty_like(a)
-    np.multiply(b, 2.0, out=tb)
-    t0 = time.perf_counter()
-    np.add(a, tb, out=c)
-    return (3 * 8 * n / (time.perf_counter() - t0)) / 1e9
+    return triad_gbps(n)
 
 
 def quiet(thr: float) -> bool:
@@ -78,6 +75,14 @@ def main() -> None:
         shutil.copy(src, os.path.join(REPO, "BENCH", "scaling_r4w1.json"))
         with open(src) as f:
             print(json.dumps(json.load(f).get("efficiency_per_query", {})), flush=True)
+
+    print("== in-session bench (sf0.1, min-of-2) ==", flush=True)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+               SPARK_GRAFT_CPUS="32", SPARK_GRAFT_BENCH_TRIALS="2")
+    with open("/tmp/bench_r4_insession.log", "w") as f:
+        subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       stdout=f, stderr=subprocess.STDOUT, timeout=3600,
+                       cwd=REPO, env=env)
     print("suite done", flush=True)
 
 
