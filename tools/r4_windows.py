@@ -1,0 +1,77 @@
+"""Collect round-4 scaling windows for the rest of the session.
+
+Loop: wait for a quiet-ish ambient window; on the FIRST quiet window run
+the sf1 minhash decomposition legs (N=4/N=16, matching the scaling
+study's minhash job exactly: sf1 docs, k=64, bands=8) back-to-back;
+then run one interleaved scaling window, save it as
+BENCH/scaling_r4w{i}.json, and min-merge all r4 windows into
+BENCH/scaling.json. Repeat until max_windows.
+
+Usage: python tools/r4_windows.py [threshold_gbps] [max_windows]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+from tools.noise_probe import triad_gbps  # noqa: E402
+
+
+def quiet(thr: float) -> bool:
+    vals = []
+    for _ in range(3):
+        vals.append(triad_gbps(8_000_000))
+        time.sleep(2)
+    med = sorted(vals)[1]
+    print(f"ambient median {med:.3f} GB/s (thr {thr})", flush=True)
+    return med > thr
+
+
+def run(cmd: list[str], log: str, timeout: int = 5400) -> int:
+    with open(log, "w") as f:
+        return subprocess.run(
+            [sys.executable] + cmd, stdout=f, stderr=subprocess.STDOUT,
+            timeout=timeout, cwd=REPO,
+        ).returncode
+
+
+def main() -> None:
+    thr = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+    max_windows = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    done_decomp = os.path.exists(os.path.join(REPO, "BENCH/minhash_decomp_sf1_N4.json"))
+    w = len(glob.glob(os.path.join(REPO, "BENCH/scaling_r4w*.json")))
+    while w < max_windows:
+        if not quiet(thr):
+            time.sleep(120)
+            continue
+        if not done_decomp:
+            print("== sf1 decomposition legs (quiet) ==", flush=True)
+            for cpus in (4, 16):
+                rc = run(["tools/minhash_decomp.py", "1", str(cpus),
+                          f"BENCH/minhash_decomp_sf1_N{cpus}.json"],
+                         f"/tmp/decomp_sf1_n{cpus}.log")
+                print(f"decomp sf1 N={cpus}: rc={rc}", flush=True)
+            done_decomp = True
+            continue  # re-check quiet before burning a scaling window
+        w += 1
+        print(f"== scaling window r4w{w} ==", flush=True)
+        rc = run(["tools/scaling_study.py", "4", "4", "1"], f"/tmp/scaling_r4w{w}.log")
+        src = os.path.join(REPO, "BENCH", "scaling.json")
+        dst = os.path.join(REPO, "BENCH", f"scaling_r4w{w}.json")
+        if rc == 0 and os.path.exists(src):
+            shutil.copy(src, dst)
+            wins = sorted(glob.glob(os.path.join(REPO, "BENCH/scaling_r4w*.json")))
+            run(["tools/merge_scaling.py"] + wins, "/tmp/merge_r4.log")
+            print(f"merged {len(wins)} windows", flush=True)
+    print("window collection done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
