@@ -333,25 +333,31 @@ def minhash_band_keys(
 
 def _star_edges(raw: DataFrame, id_col: str) -> DataFrame:
     """(a, b) star edges per LSH bucket: every member points at its
-    bucket's min id; singleton buckets vanish before the join (the
-    count > 1 filter), so the join's build side is only the multi-member
-    buckets and AQE plans it as a broadcast when small.
+    bucket's min id; singleton buckets (the vast majority) drop before
+    any further work.
 
-    All-JVM on purpose: an A/B against a repartition + sortWithinPartitions
-    + mapInPandas formulation showed the Python pass scaling NEGATIVELY
-    with cores (Arrow round-trip of the full bucket table contends for
-    memory bandwidth: 32s at 4 threads -> 54s at 16, vs 43s -> 24.5s for
-    this hash-aggregate + join form).
+    ONE exchange by construction: bucket-min and bucket-count come from
+    an entire-partition window over bkey, so the bucket table is
+    hash-partitioned once and never joined back. The r3 shape
+    (aggregate + join) planned a second full exchange whenever AQE chose
+    not to broadcast the aggregated side (observed in the r4 stage
+    decomposition: 2x762 MB shuffled at sf1 instead of 1x762 MB — the
+    dup-bucket table was past the broadcast threshold) and its safety
+    depended on a runtime size estimate; the window form halves the
+    exchanged bytes deterministically at the cost of a local Tungsten
+    sort by bkey inside each partition — the right trade on a cluster,
+    where the exchange is network and the sort is local.
+
+    Still all-JVM: an earlier A/B against a repartition +
+    sortWithinPartitions + mapInPandas formulation showed the Python
+    pass scaling NEGATIVELY with cores (Arrow round-trip of the full
+    bucket table contends for memory bandwidth).
     """
-    bmin = (
-        raw.groupBy("bkey")
-        .agg(F.min(id_col).alias("b"), F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .select("bkey", "b")
-    )
+    w = Window.partitionBy("bkey")
     return (
-        raw.join(bmin, "bkey")
-        .filter(F.col(id_col) != F.col("b"))
+        raw.withColumn("b", F.min(id_col).over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter((F.col("_n") > 1) & (F.col(id_col) != F.col("b")))
         .select(F.col(id_col).alias("a"), "b")
         .distinct()
     )

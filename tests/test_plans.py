@@ -171,3 +171,25 @@ def test_halo_ghosts_are_jvm_broadcast_only(spark, web):
     below = plan[kernel_pos:]
     assert "ArrowEvalPython" not in below and "BatchEvalPython" not in below
     assert "BroadcastNestedLoopJoin" in plan  # 8-row offsets, broadcast
+
+
+def test_star_edges_single_bucket_exchange(spark):
+    """The MinHash star-edge builder must shuffle the full bucket table
+    exactly ONCE (entire-partition window over bkey); the r3
+    aggregate+join form planned a second full exchange whenever AQE
+    declined the broadcast. The only other exchange is the tiny edge
+    distinct."""
+    from coastsat_spark.operators import dedup
+
+    docs = spark.read.parquet(ensure_webpages(spark, 0.001))
+    sub = docs.select(F.xxhash64("url").alias("doc_id"), F.col("text"))
+    raw = dedup.minhash_band_keys(sub, 64, 8).select(
+        F.col("doc_id"), F.explode("bkeys").alias("bkey")
+    )
+    out = dedup._star_edges(raw, "doc_id")
+    plan = _plan(out)
+    bucket_exchanges = [
+        l for l in plan.splitlines()
+        if "hashpartitioning(bkey" in l
+    ]
+    assert len(bucket_exchanges) == 1, bucket_exchanges
