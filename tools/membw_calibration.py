@@ -4,6 +4,17 @@ STREAM-style triad over arrays far larger than LLC, at P concurrent
 processes. Shuffle-heavy Spark stages are bandwidth-bound, not
 compute-bound — their N->4N scaling is capped by THIS ratio, not by the
 pure-CPU one. Writes BENCH/membw_calibration.json.
+
+Shared-host protocol (same as the scaling study, dual form): co-tenant
+bursts only ever REMOVE bandwidth, so the MAX over interleaved trials
+per proc-count converges to the unloaded figure. Proc counts are
+interleaved within each round so a burst cannot bias one count
+systematically, and the artifact embeds ambient single-thread triad
+samples so a fully-polluted run is recognizable. Re-runs merge with the
+existing artifact by per-count max (a fresh lineage only matters if the
+host hardware changes).
+
+Usage: python tools/membw_calibration.py [rounds]
 """
 
 from __future__ import annotations
@@ -11,6 +22,7 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
+import sys
 import time
 
 import numpy as np
@@ -35,28 +47,42 @@ def _triad(_):
 def bandwidth(procs: int) -> float:
     with mp.Pool(procs) as pool:
         t0 = time.perf_counter()
-        per = pool.map(_triad, range(procs))
+        pool.map(_triad, range(procs))
         wall = time.perf_counter() - t0
     total_bytes = REPS * 5 * N * 8 * procs
     return total_bytes / wall
 
 
 def main() -> None:
-    out = {}
-    base = None
-    for p in (1, 4, 8, 16):
-        gbs = bandwidth(p) / 1e9
-        base = base or gbs
-        out[str(p)] = {"gb_per_sec": round(gbs, 2), "speedup_vs_1": round(gbs / base, 2)}
-        print(p, out[str(p)])
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "BENCH", "membw_calibration.json")
+    best: dict[str, float] = {}
+    if os.path.exists(path):
+        prior = json.load(open(path))
+        best = {p: v["gb_per_sec"] for p, v in prior.get("per_procs", {}).items()}
+    ambient = []
+    for r in range(rounds):
+        ambient.append(round(bandwidth(1) / 1e9, 3))
+        for p in (1, 4, 8, 16):
+            gbs = bandwidth(p) / 1e9
+            best[str(p)] = max(best.get(str(p), 0.0), gbs)
+            print(f"round {r} procs {p}: {gbs:.2f} GB/s (best {best[str(p)]:.2f})",
+                  flush=True)
+    out = {
+        p: {"gb_per_sec": round(best[p], 2),
+            "speedup_vs_1": round(best[p] / best["1"], 2)}
+        for p in sorted(best, key=int)
+    }
     summary = {
         "per_procs": out,
         "bw_4x_ratios": {
-            "4_to_16": round(out["16"]["gb_per_sec"] / out["4"]["gb_per_sec"], 3),
+            "4_to_16": round(best["16"] / best["4"], 3),
         },
+        "ambient_triad_gbps_per_round": ambient,
+        "protocol": "max over interleaved trials per proc-count, merged across runs",
     }
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH", "membw_calibration.json"), "w") as fh:
+    with open(path, "w") as fh:
         json.dump(summary, fh, indent=2)
     print(json.dumps(summary))
 

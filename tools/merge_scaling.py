@@ -3,7 +3,15 @@ the per-(job, leg) MINIMUM — the documented shared-host protocol: the
 min over interleaved trials across windows converges to the unloaded
 time, because co-tenant bursts only ever ADD wall-clock.
 
-Usage: python tools/merge_scaling.py run1.json run2.json ... > merged
+Lineage hygiene: a min is only meaningful across windows that measured
+the SAME code for that query. When an operator's kernel changes
+mid-round, its old windows must not contribute legs — mixing an
+old-kernel minimum on one leg with a new-kernel minimum on the other
+would fabricate an efficiency no single code version ever exhibited.
+LINEAGE_EXCLUDE pins the known breaks; windows may also be restricted
+ad hoc with `path:q1,q2` (merge only those queries from that file).
+
+Usage: python tools/merge_scaling.py run1.json run2.json[:q1,q2] ...
 (also rewrites BENCH/scaling.json with the merged summary)
 """
 
@@ -15,10 +23,37 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Known lineage breaks, keyed by window basename -> queries to DROP.
+# r4w1-r4w5 measured the per-slot-splitmix64 MinHash kernel; the
+# multiply-shift kernel landed before r4w6 (operators/dedup.py
+# np_minhash_hashes), so their minhash legs are a different program.
+# flagship/text_extract code is unchanged across all r4 windows.
+LINEAGE_EXCLUDE: dict[str, set[str]] = {
+    f"scaling_r4w{i}.json": {"minhash_assign"} for i in range(1, 6)
+}
+
 
 def main() -> None:
-    runs = [json.load(open(p)) for p in sys.argv[1:]]
-    assert runs, "pass at least one scaling.json"
+    specs = []
+    for arg in sys.argv[1:]:
+        path, _, only = arg.partition(":")
+        specs.append((path, set(only.split(",")) if only else None))
+    assert specs, "pass at least one scaling.json"
+    runs = []
+    for path, only in specs:
+        r = json.load(open(path))
+        drop = LINEAGE_EXCLUDE.get(os.path.basename(path), set())
+        for leg in ("times_N", "times_4N"):
+            r[leg] = {
+                q: v
+                for q, v in r[leg].items()
+                if q not in drop and (only is None or q in only)
+            }
+        runs.append(r)
+    present = {}
+    for r in runs:
+        for q in r["times_N"]:
+            present[q] = present.get(q, 0) + 1
     base = runs[0]
     for r in runs[1:]:
         assert r["N"] == base["N"] and r["4N"] == base["4N"] and r["sf"] == base["sf"]
@@ -27,6 +62,7 @@ def main() -> None:
                 base[leg][q] = min(base[leg].get(q, v), v)
     base["trials"] = sum(r["trials"] for r in runs)
     base["merged_windows"] = len(runs)
+    base["windows_per_query"] = present
     eff = {
         q: round((base["times_N"][q] / base["times_4N"][q]) / 4.0, 3)
         for q in base["times_N"]
