@@ -42,15 +42,34 @@ def run(cmd: list[str], log: str, timeout: int = 5400) -> int:
         ).returncode
 
 
+def _membw_done() -> bool:
+    # the max-merge protocol field marks a post-fix (unbiased-triad) run
+    import json
+
+    p = os.path.join(REPO, "BENCH/membw_calibration.json")
+    try:
+        return "protocol" in json.load(open(p))
+    except Exception:
+        return False
+
+
 def main() -> None:
     thr = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
     max_windows = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     done_decomp = os.path.exists(os.path.join(REPO, "BENCH/minhash_decomp_sf1_N4.json"))
+    done_membw = _membw_done()
     w = len(glob.glob(os.path.join(REPO, "BENCH/scaling_r4w*.json")))
     while w < max_windows:
         if not quiet(thr):
             time.sleep(120)
             continue
+        if not done_membw:
+            print("== membw recalibration (quiet) ==", flush=True)
+            rc = run(["tools/membw_calibration.py", "2"], "/tmp/membw_recal.log",
+                     timeout=1800)
+            print(f"membw: rc={rc}", flush=True)
+            done_membw = True
+            continue  # re-check quiet before burning a scaling window
         if not done_decomp:
             print("== sf1 decomposition legs (quiet) ==", flush=True)
             for cpus in (4, 16):
