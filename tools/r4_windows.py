@@ -89,6 +89,11 @@ def main() -> None:
             wins = sorted(glob.glob(os.path.join(REPO, "BENCH/scaling_r4w*.json")))
             run(["tools/merge_scaling.py"] + wins, "/tmp/merge_r4.log")
             print(f"merged {len(wins)} windows", flush=True)
+        # one extra membw round per window: the max-merge makes repeats
+        # free (a polluted round never raises the max), and the 8>16
+        # incoherence in the first artifact showed one quiet pass per
+        # proc-count is not enough to converge
+        run(["tools/membw_calibration.py", "1"], "/tmp/membw_recal.log", timeout=1800)
     print("window collection done", flush=True)
 
 
