@@ -1279,7 +1279,7 @@ def oracle_sql() -> dict[str, str]:
 
     shoreline_crossings_sql = f"""
         WITH {obs_ctes},
-        {crossings_oracle_sql(_OR_GRID_LOG2)}
+        {crossings_oracle_sql(_OR_GRID_LOG2, tile_res=_OR_TILE_RES)}
     """
     classify_scenes_sql = f"""
         WITH {obs_ctes},

@@ -353,6 +353,13 @@ def scene_extract_pdf(
             & (pts[:, 1] >= -0.5) & (pts[:, 1] < g - 0.5)
         )
         pts = pts[own]
+        # no per-contour point-count re-check after cloud removal /
+        # ownership: the reference length-filters FULL contours, then
+        # flattens every surviving contour into one point array and
+        # drops individual cloud-near points from it
+        # (SDS_shoreline.py:661-692) — a contour reduced to a single
+        # point keeps that point, and a tile legitimately owns a single
+        # point of a long stitched polyline
         if len(pts) < 1:
             continue
         kept.append(pts)
@@ -668,8 +675,20 @@ def crossings_oracle_sql(
                 OR (o.dir = 'h' AND vc.c = o.gx AND vc.r IN (o.gy - 1, o.gy)))
           )
           AND NOT EXISTS (
+            -- J7 mirror with the kernel's VISIBILITY: scene_extract_pdf
+            -- only sees cloud pixels inside the owning tile's (g+2)^2
+            -- extended grid (core + 1-px halo ring), so the anti-join
+            -- restricts cl to that window (tile-frame coords in [-1, g],
+            -- x wrapped) before the distance test — without the bound
+            -- the oracle would drop border points the kernel keeps
+            -- whenever dist_cloud_px reaches past the halo ring
             SELECT 1 FROM f cl
             WHERE cl.scene_month = o.scene_month AND cl.cloud = 1
+              AND cl.gy BETWEEN (o.tile & {XB_MASK}) * {g} - 1
+                            AND (o.tile & {XB_MASK}) * {g} + {g}
+              AND ((cl.gx - ((o.tile >> {cells.X_BITS}) & {XB_MASK}) * {g})
+                   - {W} * round((cl.gx - ((o.tile >> {cells.X_BITS}) & {XB_MASK}) * {g}) / {W}.0))
+                  BETWEEN -1 AND {g}
               AND (cl.gy - o.pgy) * (cl.gy - o.pgy)
                 + ((cl.gx - o.pgx) - {W} * round((cl.gx - o.pgx) / {W}.0))
                   * ((cl.gx - o.pgx) - {W} * round((cl.gx - o.pgx) / {W}.0))

@@ -317,15 +317,23 @@ def test_crossings_oracle_sql_matches_kernel():
     total = 0
     for seed in range(20):
         rng = np.random.default_rng(seed)
-        g, res = 4, 6
+        # alternate world sizes and cloud radii: odd seeds use the entry
+        # registry's res=4 world (the antimeridian modulus W=64, not the
+        # default 256) and a dist_cloud_px reaching PAST the 1-px halo
+        # ring — the two configs that caught real oracle bugs (a dropped
+        # tile_res= in the entry wiring; a cloud anti-join without the
+        # kernel's extended-grid visibility bound)
+        g, res = 4, (4 if seed % 2 else 6)
+        dist_cloud = 3.2 if seed % 2 else 1.5
         n_side = 1 << res
+        y0 = 5 if res == 4 else 20  # must fit the 1<<res grid
         tiles = [
-            res * (1 << cells.R_BITS) + 10 * (1 << cells.X_BITS) + 20,
-            res * (1 << cells.R_BITS) + 11 * (1 << cells.X_BITS) + 20,
-            res * (1 << cells.R_BITS) + 10 * (1 << cells.X_BITS) + 21,
+            res * (1 << cells.R_BITS) + 10 * (1 << cells.X_BITS) + y0,
+            res * (1 << cells.R_BITS) + 11 * (1 << cells.X_BITS) + y0,
+            res * (1 << cells.R_BITS) + 10 * (1 << cells.X_BITS) + (y0 + 1),
             # wrap-adjacent pair across the antimeridian seam (x = n-1, x = 0)
-            res * (1 << cells.R_BITS) + (n_side - 1) * (1 << cells.X_BITS) + 20,
-            res * (1 << cells.R_BITS) + 0 * (1 << cells.X_BITS) + 20,
+            res * (1 << cells.R_BITS) + (n_side - 1) * (1 << cells.X_BITS) + y0,
+            res * (1 << cells.R_BITS) + 0 * (1 << cells.X_BITS) + y0,
         ]
         rows = []
         for ti, t in enumerate(tiles):
@@ -343,7 +351,9 @@ def test_crossings_oracle_sql_matches_kernel():
             columns=["tile", "scene_month", "px_row", "px_col", "green", "swir", "n_docs", "cloud_frac"],
         )
 
-        s = raster.ShorelineSettings(grid_log2=2, min_contour_len_px=0.0)
+        s = raster.ShorelineSettings(
+            grid_log2=2, min_contour_len_px=0.0, dist_cloud_px=dist_cloud
+        )
         hp = _halo_pdf(px, g)
         outs = [
             raster.scene_extract_pdf(grp.reset_index(drop=True), s)
@@ -355,7 +365,8 @@ def test_crossings_oracle_sql_matches_kernel():
         con = duckdb.connect()
         con.register("px_src", px)
         orc = con.execute(
-            "WITH px AS (SELECT * FROM px_src), " + raster.crossings_oracle_sql(2)
+            "WITH px AS (SELECT * FROM px_src), "
+            + raster.crossings_oracle_sql(2, s=s, tile_res=res)
         ).df()
 
         k = kern.sort_values(["tile", "scene_month", "px_x", "px_y"]).reset_index(drop=True)

@@ -31,26 +31,47 @@ N = 64 * 1024 * 1024 // 8  # 64 MB per array, 3 arrays -> 192 MB >> LLC
 REPS = 5
 
 
+_barrier = None
+
+
+def _init_barrier(b):
+    global _barrier
+    _barrier = b
+
+
 def _triad(_):
     a = np.ones(N)
     b = np.full(N, 2.0)
     c = np.empty(N)
+    np.multiply(b, 0.5, out=c)  # touch every page before timing
+    c += a
+    if _barrier is not None:
+        _barrier.wait()
     t0 = time.perf_counter()
     for _ in range(REPS):
         np.multiply(b, 0.5, out=c)
         c += a
-    dt = time.perf_counter() - t0
-    # bytes moved per rep: read b + write c + read a + read/write c
-    return (REPS * 5 * N * 8) / dt
+    return time.perf_counter() - t0
 
 
 def bandwidth(procs: int) -> float:
-    with mp.Pool(procs) as pool:
-        t0 = time.perf_counter()
-        pool.map(_triad, range(procs))
-        wall = time.perf_counter() - t0
+    """Aggregate triad bandwidth at `procs` concurrent workers.
+
+    Workers allocate and first-touch their arrays, meet at a barrier,
+    then time only the streaming loop; the aggregate is total counted
+    bytes over the SLOWEST worker's timed span (all spans start
+    together, so the max covers the fully-concurrent region). Timing in
+    the workers keeps pool dispatch, fork, and 192 MB/worker init out
+    of the denominator — the old outer-wall form deflated higher proc
+    counts more (more init traffic per counted byte), which is how the
+    artifact briefly recorded 8-proc bandwidth above 16-proc.
+    """
+    barrier = mp.Barrier(procs)
+    with mp.Pool(procs, initializer=_init_barrier, initargs=(barrier,)) as pool:
+        dts = pool.map(_triad, range(procs))
+    # bytes moved per rep: read b + write c + read a + read/write c
     total_bytes = REPS * 5 * N * 8 * procs
-    return total_bytes / wall
+    return total_bytes / max(dts)
 
 
 def main() -> None:
@@ -80,7 +101,7 @@ def main() -> None:
             "4_to_16": round(best["16"] / best["4"], 3),
         },
         "ambient_triad_gbps_per_round": ambient,
-        "protocol": "max over interleaved trials per proc-count, merged across runs",
+        "protocol": "barrier-synced worker-timed triad; max over trials, merged across runs",
     }
     with open(path, "w") as fh:
         json.dump(summary, fh, indent=2)

@@ -71,6 +71,43 @@ def rest_stages(spark) -> list[dict]:
         return json.loads(r.read())
 
 
+def stage_rows(spark, before_ids) -> list[dict]:
+    """Per-stage metric rows for stages completed after `before_ids`
+    (shared by minhash_decomp and job_decomp — one copy of the REST
+    parsing so the artifacts stay methodologically identical)."""
+    rows = []
+    for s in rest_stages(spark):
+        if s["stageId"] in before_ids:
+            continue
+        st_wall = None
+        if s.get("firstTaskLaunchedTime") and s.get("completionTime"):
+            from datetime import datetime
+
+            fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
+            t_a = datetime.strptime(s["firstTaskLaunchedTime"], fmt)
+            t_b = datetime.strptime(s["completionTime"], fmt)
+            st_wall = (t_b - t_a).total_seconds()
+        rows.append(
+            {
+                "stage": s["stageId"],
+                "name": s.get("name", "")[:60],
+                "tasks": s.get("numCompleteTasks"),
+                "wall_s": round(st_wall, 3) if st_wall is not None else None,
+                "run_s": round(s.get("executorRunTime", 0) / 1e3, 3),
+                "cpu_s": round(s.get("executorCpuTime", 0) / 1e9, 3),
+                "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+                "shuffle_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                "shuffle_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+            }
+        )
+    rows.sort(key=lambda r: r["stage"])
+    for r in rows:
+        r["cpu_over_run"] = round(r["cpu_s"] / r["run_s"], 3) if r["run_s"] else None
+        sh = r["shuffle_write_mb"] + r["shuffle_read_mb"]
+        r["shuffle_mb_per_s"] = round(sh / r["wall_s"], 1) if r["wall_s"] and sh else None
+    return rows
+
+
 def main() -> None:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -112,37 +149,7 @@ def main() -> None:
     wall = time.perf_counter() - t0
     amb.stop()
 
-    rows = []
-    for s in rest_stages(spark):
-        if s["stageId"] in before_ids:
-            continue
-        st_wall = None
-        if s.get("firstTaskLaunchedTime") and s.get("completionTime"):
-            from datetime import datetime
-
-            fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
-            t_a = datetime.strptime(s["firstTaskLaunchedTime"], fmt)
-            t_b = datetime.strptime(s["completionTime"], fmt)
-            st_wall = (t_b - t_a).total_seconds()
-        rows.append(
-            {
-                "stage": s["stageId"],
-                "name": s.get("name", "")[:60],
-                "tasks": s.get("numCompleteTasks"),
-                "wall_s": round(st_wall, 3) if st_wall is not None else None,
-                "run_s": round(s.get("executorRunTime", 0) / 1e3, 3),
-                "cpu_s": round(s.get("executorCpuTime", 0) / 1e9, 3),
-                "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
-                "shuffle_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
-                "shuffle_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
-            }
-        )
-    rows.sort(key=lambda r: r["stage"])
-    for r in rows:
-        r["cpu_over_run"] = round(r["cpu_s"] / r["run_s"], 3) if r["run_s"] else None
-        sh = r["shuffle_write_mb"] + r["shuffle_read_mb"]
-        r["shuffle_mb_per_s"] = round(sh / r["wall_s"], 1) if r["wall_s"] and sh else None
-
+    rows = stage_rows(spark, before_ids)
     map_stages = [r for r in rows if r["shuffle_read_mb"] == 0.0]
     exch_stages = [r for r in rows if r["shuffle_read_mb"] > 0.0]
     out = {

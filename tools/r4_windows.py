@@ -15,31 +15,12 @@ from __future__ import annotations
 import glob
 import os
 import shutil
-import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-from tools.noise_probe import triad_gbps  # noqa: E402
-
-
-def quiet(thr: float) -> bool:
-    vals = []
-    for _ in range(3):
-        vals.append(triad_gbps(8_000_000))
-        time.sleep(2)
-    med = sorted(vals)[1]
-    print(f"ambient median {med:.3f} GB/s (thr {thr})", flush=True)
-    return med > thr
-
-
-def run(cmd: list[str], log: str, timeout: int = 5400) -> int:
-    with open(log, "w") as f:
-        return subprocess.run(
-            [sys.executable] + cmd, stdout=f, stderr=subprocess.STDOUT,
-            timeout=timeout, cwd=REPO,
-        ).returncode
+from tools.noise_probe import ambient_quiet as quiet, run_logged as run  # noqa: E402
 
 
 def _membw_done() -> bool:

@@ -46,6 +46,10 @@ docs_mh = spark.read.parquet(ensure_webpages(spark, {sf_mh}))
 docs_mh.count()
 
 def flagship():
+    # NOTE: each trial re-persists the pixel aggregate and leaves it
+    # cached (small, bounded by tilesxmonthsxg^2; equal burden on both
+    # legs). Unpersisting here would be cleaner but changes the measured
+    # program -> flagship window lineage break; do it at the next one.
     return pipeline.run_flagship(spark, docs).timeseries.count()
 
 def text_extract():
