@@ -243,7 +243,11 @@ def webpages_df(spark, n_rows: int, with_truth: bool = False):
                 out = out.drop(columns=["_lat", "_lon"])
             yield out
 
-    parts = max(8, min(256, n_rows // 8_000 or 1))
+    # cap rises with row count: a 256-part cap at 96M rows means 375k-row
+    # generator tasks whose peak pandas footprint (x32 concurrent workers)
+    # can crash a Python worker under co-tenant memory pressure; ~90k-row
+    # tasks keep the per-worker peak bounded at any sf
+    parts = max(8, min(1024, n_rows // 8_000 or 1))
     return spark.range(0, n_rows, numPartitions=parts).mapInPandas(gen, schema=cols)
 
 

@@ -58,14 +58,34 @@ def ensure_inputs() -> None:
     from coastsat_spark.datagen import ensure_webpages, webpages_path
     from coastsat_spark.session import get_spark
 
+    def marker(sf):
+        return os.path.join(webpages_path(sf, REPO + "/data"), "_SUCCESS")
+
     sfs = sorted({p[2] for p in POINTS} | {p[3] for p in POINTS})
-    missing = [
-        sf for sf in sfs
-        if not os.path.exists(os.path.join(webpages_path(sf, REPO + "/data"), "_SUCCESS"))
-    ]
+    missing = []
+    for sf in sfs:
+        if os.path.exists(marker(sf)):
+            continue
+        # another generator may be mid-write (markerless dir with recent
+        # mtime activity): wait for it rather than double-writing the dir
+        d = webpages_path(sf, REPO + "/data")
+
+        def activity(path):
+            times = [os.path.getmtime(path)]
+            for root, dirs, _files in os.walk(path):
+                times += [os.path.getmtime(os.path.join(root, x)) for x in dirs]
+            return max(times)
+
+        while os.path.isdir(d) and time.time() - activity(d) < 300:
+            if os.path.exists(marker(sf)):
+                break
+            print(f"sf{sf}: concurrent generator active; waiting", flush=True)
+            time.sleep(60)
+        if not os.path.exists(marker(sf)):
+            missing.append(sf)
     if not missing:
         return
-    spark = get_spark(cpus=32, shuffle_partitions=32)
+    spark = get_spark(cpus=16, shuffle_partitions=32)
     for sf in missing:
         print(f"datagen sf{sf}", flush=True)
         ensure_webpages(spark, sf)
