@@ -1295,9 +1295,12 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n
         FROM px GROUP BY 1, 2
     """
+    from coastsat_spark.operators.multimodal import multimodal_oracle_sql
+
     return {
         "pixel_aggregate": pixel_aggregate_sql,
         "scene_quality": scene_quality_sql,
+        "multimodal_features": multimodal_oracle_sql(500),
         "transect_intersections": transect_intersections_sql,
         "same_day_dedup": same_day_dedup_sql,
         "rescale_stretch": rescale_stretch_sql,

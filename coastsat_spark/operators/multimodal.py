@@ -309,3 +309,101 @@ def audio_frame_samples(media: DataFrame, frame_ms: int = 25) -> DataFrame:
     return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
         fn, schema="media_id long, frame_idx int, rms double"
     )
+
+
+# --------------------------------------------------------- DuckDB mirror
+
+_U64 = 18446744073709551616  # 2^64
+_SM_MUL = 0x2545F4914F6CDD1D
+_SM_GOLDEN = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+
+
+def _mulmod64_sql(expr: str, c: int) -> str:
+    """`expr * c mod 2^64` over UBIGINT via HUGEINT split-multiply
+    (DuckDB UBIGINT arithmetic raises on overflow instead of wrapping):
+    a*c = a*c_lo + ((a*c_hi mod 2^32) << 32)  (mod 2^64), every
+    intermediate < 2^97 so it fits signed 128-bit HUGEINT."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"CAST(((CAST({expr} AS HUGEINT) * {cl}) % {_U64}"
+        f" + ((CAST({expr} AS HUGEINT) * {ch}) % 4294967296) * 4294967296)"
+        f" % {_U64} AS UBIGINT)"
+    )
+
+
+def splitmix_hash_sql(index_expr: str, stream: int, seed: int = 42) -> str:
+    """SQL CTE chain (DuckDB) computing `hashing.hash_stream(index,
+    stream, seed)` bit-exactly as column ``val`` — the engine's
+    data-generation PRN, mirrored so oracles can replay synthetic
+    payload CONTENT (not just row counts) relationally.
+
+    Returns the body of a SELECT producing (.. , val UBIGINT); embed as
+    `SELECT *, {steps} FROM ...` is not possible for a multiply chain, so
+    this emits nested CTE text parameterized by the caller's source CTE
+    name (the source must expose the integer column `{index_expr}`).
+    """
+    add = (stream * _SM_GOLDEN + seed + _SM_GOLDEN) % _U64  # mix-const + finalizer GOLDEN
+    return f"""
+      sm0 AS (SELECT *, CAST({index_expr} AS UBIGINT) AS smx FROM smsrc),
+      sm1 AS (SELECT *, {_mulmod64_sql('smx', _SM_MUL)} AS smm FROM sm0),
+      sm2 AS (SELECT *, CAST((CAST(smm AS HUGEINT) + {add}) % {_U64} AS UBIGINT) AS smz0 FROM sm1),
+      sm3 AS (SELECT *, {_mulmod64_sql('xor(smz0, smz0 >> 30)', _SM_M1)} AS smz1 FROM sm2),
+      sm4 AS (SELECT *, {_mulmod64_sql('xor(smz1, smz1 >> 27)', _SM_M2)} AS smz2 FROM sm3),
+      smv AS (SELECT *, xor(smz2, smz2 >> 31) AS val FROM sm4)"""
+
+
+def multimodal_oracle_sql(n: int = 500) -> str:
+    """DuckDB mirror of `q_multimodal_features` over `media_table(n)`:
+    the payloads are deterministic functions of media_id, so the oracle
+    replays the generator's CONTENT (splitmix64 pixel stream; truncated
+    int16 sine samples) and the decode+feature math (per-channel means,
+    mean-of-means brightness, per-25ms-frame RMS) as pure SQL — an
+    end-to-end value check of the real BMP/WAV encode->decode->feature
+    path without any binary parsing in the oracle.
+
+    Exactness notes: channel means are integer sums / counts (exact in
+    doubles, both engines); brightness replays numpy's mean-of-3-means
+    order ((m_r+m_g)+m_b)/3; sine samples replay numpy's operand order
+    ((2*pi*f)*t)/sr and truncate-toward-zero int16 cast (numpy astype —
+    DuckDB CAST rounds, hence TRUNC)."""
+    w, h, sr, nsamp, frame = 16, 12, 8000, 1600, 200
+    npx = w * h * 3
+    return f"""
+        WITH ids AS (SELECT i AS media_id FROM generate_series(0, {n - 1}) t(i)),
+        smsrc AS (
+          SELECT media_id, j
+          FROM ids, generate_series(0, {npx - 1}) p(j)
+          WHERE media_id % 2 = 0
+        ),
+        {splitmix_hash_sql(f"j + media_id * 1000003", 77)},
+        img AS (
+          SELECT media_id,
+                 avg(CASE WHEN j % 3 = 0 THEN CAST(val % 256 AS DOUBLE) END) AS m_r,
+                 avg(CASE WHEN j % 3 = 1 THEN CAST(val % 256 AS DOUBLE) END) AS m_g,
+                 avg(CASE WHEN j % 3 = 2 THEN CAST(val % 256 AS DOUBLE) END) AS m_b
+          FROM smv GROUP BY 1
+        ),
+        img_rows AS (
+          SELECT media_id, 'image' AS kind, 0 AS idx,
+                 round(((m_r + m_g) + m_b) / 3.0, 4) AS v1,
+                 round(m_r, 4) AS v2
+          FROM img
+        ),
+        aud AS (
+          SELECT media_id, t,
+                 CAST(TRUNC(sin(((2 * pi() * (100.0 + (media_id % 40) * 10.0)) * t) / {sr}.0) * 10000) AS BIGINT) AS s
+          FROM ids, generate_series(0, {nsamp - 1}) g(t)
+          WHERE media_id % 2 = 1
+        ),
+        aud_rows AS (
+          SELECT media_id, 'audio' AS kind, CAST(t // {frame} AS INT) AS idx,
+                 round(sqrt(avg(CAST(s * s AS DOUBLE))), 4) AS v1,
+                 CAST(NULL AS DOUBLE) AS v2
+          FROM aud GROUP BY 1, 2, 3
+        )
+        SELECT CAST(media_id AS BIGINT) AS media_id, kind, CAST(idx AS INT) AS idx, v1, v2 FROM img_rows
+        UNION ALL
+        SELECT CAST(media_id AS BIGINT) AS media_id, kind, CAST(idx AS INT) AS idx, v1, v2 FROM aud_rows
+    """
