@@ -47,6 +47,12 @@ POINTS = [
     ("flagship_sf1", ("flagship", "text_extract"), 1.0, 0.001),
     ("minhash_sf2", ("minhash_assign",), 0.1, 2.0),
     ("flagship_sf16", ("flagship", "text_extract"), 16.0, 0.001),
+    # the model-anchor sizes re-measured under the SAME ambient window as
+    # the sweep: the merged scaling.json minima were collected across
+    # noisier windows and sit off the quiet-host fit line (stale-noise
+    # residual), so the fit gets same-conditions points at every size
+    ("flagship_sf4", ("flagship", "text_extract"), 4.0, 0.001),
+    ("minhash_sf1", ("minhash_assign",), 0.1, 1.0),
 ]
 
 N = 4
