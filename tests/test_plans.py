@@ -166,7 +166,10 @@ def test_halo_ghosts_are_jvm_broadcast_only(spark, web):
     px = raster.aggregate_pixels(tiling.prepare_documents(web))
     out = raster.extract_shorelines(px)
     plan = _plan(out)
-    kernel_pos = plan.find("FlatMapGroupsInPandas")
+    # the contour kernel is a mapInPandas over key-sorted partitions (one
+    # Arrow batch per ~10k rows, group loop inside the UDF) — not a
+    # per-group FlatMapGroupsInPandas
+    kernel_pos = plan.find("MapInPandas")
     assert kernel_pos != -1
     below = plan[kernel_pos:]
     assert "ArrowEvalPython" not in below and "BatchEvalPython" not in below
