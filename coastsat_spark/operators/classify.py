@@ -246,8 +246,10 @@ def classify_oracle_sql(px_cte: str, grid_log2: int, model: np.ndarray | None = 
     feat_order = base_feats + [f"s_{f}" for f in base_feats]  # 20 features
     scores = []
     for k in range(model.shape[0]):
-        terms = [f"{model[k, 0]!r}"] + [
-            f"{model[k, j + 1]!r} * {f}" for j, f in enumerate(feat_order)
+        # float() before repr: np.float64.__repr__ under numpy>=2.0 emits
+        # "np.float64(...)", which is not parseable SQL
+        terms = [f"{float(model[k, 0])!r}"] + [
+            f"{float(model[k, j + 1])!r} * {f}" for j, f in enumerate(feat_order)
         ]
         scores.append(" + ".join(terms) + f" AS sc{k}")
     return f"""

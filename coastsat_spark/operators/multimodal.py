@@ -333,25 +333,29 @@ def _mulmod64_sql(expr: str, c: int) -> str:
     )
 
 
-def splitmix_hash_sql(index_expr: str, stream: int, seed: int = 42) -> str:
+def splitmix_hash_sql(
+    index_expr: str, stream: int, seed: int = 42, prefix: str = "sm"
+) -> str:
     """SQL CTE chain (DuckDB) computing `hashing.hash_stream(index,
     stream, seed)` bit-exactly as column ``val`` — the engine's
     data-generation PRN, mirrored so oracles can replay synthetic
     payload CONTENT (not just row counts) relationally.
 
-    Returns the body of a SELECT producing (.. , val UBIGINT); embed as
-    `SELECT *, {steps} FROM ...` is not possible for a multiply chain, so
-    this emits nested CTE text parameterized by the caller's source CTE
-    name (the source must expose the integer column `{index_expr}`).
+    Returns CTE text (no leading WITH) reading from `{prefix}src` and
+    ending in `{prefix}v`, which exposes every source column plus
+    `val UBIGINT`. All CTE and intermediate column names carry `prefix`,
+    so two hash streams can be embedded in one WITH clause by giving
+    each a distinct prefix (and its own `{prefix}src` source CTE).
     """
+    p = prefix
     add = (stream * _SM_GOLDEN + seed + _SM_GOLDEN) % _U64  # mix-const + finalizer GOLDEN
     return f"""
-      sm0 AS (SELECT *, CAST({index_expr} AS UBIGINT) AS smx FROM smsrc),
-      sm1 AS (SELECT *, {_mulmod64_sql('smx', _SM_MUL)} AS smm FROM sm0),
-      sm2 AS (SELECT *, CAST((CAST(smm AS HUGEINT) + {add}) % {_U64} AS UBIGINT) AS smz0 FROM sm1),
-      sm3 AS (SELECT *, {_mulmod64_sql('xor(smz0, smz0 >> 30)', _SM_M1)} AS smz1 FROM sm2),
-      sm4 AS (SELECT *, {_mulmod64_sql('xor(smz1, smz1 >> 27)', _SM_M2)} AS smz2 FROM sm3),
-      smv AS (SELECT *, xor(smz2, smz2 >> 31) AS val FROM sm4)"""
+      {p}0 AS (SELECT *, CAST({index_expr} AS UBIGINT) AS {p}x FROM {p}src),
+      {p}1 AS (SELECT *, {_mulmod64_sql(p + 'x', _SM_MUL)} AS {p}m FROM {p}0),
+      {p}2 AS (SELECT *, CAST((CAST({p}m AS HUGEINT) + {add}) % {_U64} AS UBIGINT) AS {p}z0 FROM {p}1),
+      {p}3 AS (SELECT *, {_mulmod64_sql(f'xor({p}z0, {p}z0 >> 30)', _SM_M1)} AS {p}z1 FROM {p}2),
+      {p}4 AS (SELECT *, {_mulmod64_sql(f'xor({p}z1, {p}z1 >> 27)', _SM_M2)} AS {p}z2 FROM {p}3),
+      {p}v AS (SELECT *, xor({p}z2, {p}z2 >> 31) AS val FROM {p}4)"""
 
 
 def multimodal_oracle_sql(n: int = 500) -> str:

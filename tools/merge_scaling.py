@@ -27,9 +27,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # r4w1-r4w5 measured the per-slot-splitmix64 MinHash kernel; the
 # multiply-shift kernel landed before r4w6 (operators/dedup.py
 # np_minhash_hashes), so their minhash legs are a different program.
-# flagship/text_extract code is unchanged across all r4 windows.
+# The mapInPandas contour kernel (operators/raster.py, commit cece258)
+# landed AFTER all r4w windows, so their flagship legs are also a
+# different program from the v2 lineage (scaling_r4v2w*); only
+# text_extract is comparable across both lineages. Never min-merge a
+# query's legs across two different programs.
 LINEAGE_EXCLUDE: dict[str, set[str]] = {
-    f"scaling_r4w{i}.json": {"minhash_assign"} for i in range(1, 6)
+    f"scaling_r4w{i}.json": (
+        {"minhash_assign", "flagship"} if i < 6 else {"flagship"}
+    )
+    for i in range(1, 13)
 }
 
 

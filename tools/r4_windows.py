@@ -4,7 +4,9 @@ Loop: wait for a quiet-ish ambient window; on the FIRST quiet window run
 the sf1 minhash decomposition legs (N=4/N=16, matching the scaling
 study's minhash job exactly: sf1 docs, k=64, bands=8) back-to-back;
 then run one interleaved scaling window, save it as
-BENCH/scaling_r4w{i}.json, and min-merge all r4 windows into
+BENCH/scaling_r4v2w{i}.json (the post-contour-kernel lineage; the old
+r4w* windows measured a different flagship program and are excluded by
+merge_scaling's LINEAGE_EXCLUDE), and min-merge all v2 windows into
 BENCH/scaling.json. Repeat until max_windows.
 
 Usage: python tools/r4_windows.py [threshold_gbps] [max_windows]
@@ -39,7 +41,7 @@ def main() -> None:
     max_windows = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     done_decomp = os.path.exists(os.path.join(REPO, "BENCH/minhash_decomp_sf1_N4.json"))
     done_membw = _membw_done()
-    w = len(glob.glob(os.path.join(REPO, "BENCH/scaling_r4w*.json")))
+    w = len(glob.glob(os.path.join(REPO, "BENCH/scaling_r4v2w*.json")))
     while w < max_windows:
         if not quiet(thr):
             time.sleep(120)
@@ -60,16 +62,22 @@ def main() -> None:
                 print(f"decomp sf1 N={cpus}: rc={rc}", flush=True)
             done_decomp = True
             continue  # re-check quiet before burning a scaling window
-        w += 1
-        print(f"== scaling window r4w{w} ==", flush=True)
-        rc = run(["tools/scaling_study.py", "4", "4", "1"], f"/tmp/scaling_r4w{w}.log")
-        src = os.path.join(REPO, "BENCH", "scaling.json")
-        dst = os.path.join(REPO, "BENCH", f"scaling_r4w{w}.json")
-        if rc == 0 and os.path.exists(src):
-            shutil.copy(src, dst)
-            wins = sorted(glob.glob(os.path.join(REPO, "BENCH/scaling_r4w*.json")))
+        # number the next window from what exists; only count a window
+        # against max_windows once its artifact is actually on disk, so
+        # a crashed scaling_study retries instead of burning the budget
+        nxt = len(glob.glob(os.path.join(REPO, "BENCH/scaling_r4v2w*.json"))) + 1
+        dst = os.path.join(REPO, "BENCH", f"scaling_r4v2w{nxt}.json")
+        print(f"== scaling window r4v2w{nxt} ==", flush=True)
+        os.environ["SPARK_GRAFT_SF_MH"] = "1.0"
+        os.environ["SPARK_GRAFT_SCALING_OUT"] = dst
+        rc = run(["tools/scaling_study.py", "4", "4", "1"], f"/tmp/scaling_r4v2w{nxt}.log")
+        if rc == 0 and os.path.exists(dst):
+            w += 1
+            wins = sorted(glob.glob(os.path.join(REPO, "BENCH/scaling_r4v2w*.json")))
             run(["tools/merge_scaling.py"] + wins, "/tmp/merge_r4.log")
-            print(f"merged {len(wins)} windows", flush=True)
+            print(f"merged {len(wins)} v2 windows", flush=True)
+        else:
+            print(f"window failed (rc={rc}); will retry", flush=True)
         # one extra membw round per window: the max-merge makes repeats
         # free (a polluted round never raises the max), and the 8>16
         # incoherence in the first artifact showed one quiet pass per
