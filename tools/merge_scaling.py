@@ -80,7 +80,10 @@ def main() -> None:
     base["efficiency_total"] = round((t_n / t_4n) / 4.0, 3)
     base["docs_per_sec_flagship_N"] = round(base["n_docs"] / base["times_N"]["flagship"], 1)
     base["docs_per_sec_flagship_4N"] = round(base["n_docs"] / base["times_4N"]["flagship"], 1)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+    out_path = os.environ.get(
+        "SPARK_GRAFT_MERGE_OUT", os.path.join(REPO, "BENCH", "scaling.json")
+    )
+    with open(out_path, "w") as fh:
         json.dump(base, fh, indent=2)
     print(json.dumps(base, indent=2))
 
