@@ -774,15 +774,43 @@ def q_qc_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_despike_tide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # W3 iterative despike + tide correction chained on the flagship
-    # series (one driver row exercising both post-processing operators)
+    # W3 iterative despike + tide correction, DuckDB-value-checked: the
+    # sequential pop-and-restart fixpoint (SDS_transects.py:484-594) is
+    # mirrored as a recursive CTE (timeseries.despike_sql, one recursion
+    # level per pop, early-exit quirk included), so the input must be
+    # bit-identical in both engines — a deterministic integer-arithmetic
+    # spiky series derived from `documents` (margins >> 1 ulp, so keep
+    # decisions can never diverge). The real operators run on the Spark
+    # side: despike via groupBy(transect).applyInPandas over the numpy
+    # kernel, then the forward as-of tide join + horizontal correction
+    # (example.py:324-330). The flagship-chained variant of this pair
+    # stays exercised in tests/test_timeseries.py.
+    from coastsat_spark.datagen import TS_START_S
     from coastsat_spark.operators.timeseries import despike_timeseries
     from coastsat_spark.plans import pipeline
 
-    docs = _webpages(spark, sf_dir)
-    ts = pipeline.run_flagship(spark, docs).timeseries
-    despiked = despike_timeseries(ts, max_cross_change=0.5)
-    return pipeline.tidally_corrected(spark, despiked)
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    w = W.partitionBy(F.col("doc_id") % 40).orderBy("doc_id")
+    ts = d.select(
+        F.concat(F.lit("T"), (F.col("doc_id") % 40).cast("string")).alias("transect"),
+        F.timestamp_seconds(
+            F.lit(TS_START_S)
+            + (F.row_number().over(w) - 1).cast("long") * F.lit(2592000)
+        ).alias("scene_month"),
+        (
+            ((F.col("doc_id") * 37) % 13).cast("double") / F.lit(10.0)
+            + F.when((F.col("doc_id") * 7) % 23 == 0, F.lit(15.0)).otherwise(F.lit(0.0))
+        ).alias("chainage"),
+    )
+    despiked = despike_timeseries(ts, max_cross_change=5.0)
+    corrected = pipeline.tidally_corrected(spark, despiked)
+    return corrected.select(
+        "transect",
+        "scene_month",
+        F.round("chainage", 4).alias("chainage"),
+        F.round("tide", 4).alias("tide"),
+        F.round("chainage_corrected", 4).alias("chainage_corrected"),
+    )
 
 
 def q_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1101,6 +1129,8 @@ def oracle_sql() -> dict[str, str]:
         redact_pii_sql,
     )
     from coastsat_spark.functions.text import repetition_stats_sql as _repetition_stats_sql
+    from coastsat_spark.datagen import tide_value_sql as _tide_value_sql
+    from coastsat_spark.operators.timeseries import despike_sql as _despike_sql
     from coastsat_spark.operators.timeseries import sessionize_sql as _sessionize_sql
     from coastsat_spark.operators.tiling import (
         adaptive_tile_counts_sql as _adaptive_tile_counts_sql,
@@ -1547,6 +1577,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT view_value FROM r
               WHERE r.user_id = l.user_id AND r.ts >= l.ts
               ORDER BY r.ts LIMIT 1) m ON true
+        """,
+        # W3 sequential despike fixpoint as a recursive CTE (one level per
+        # pop, early-exit quirk replicated; see timeseries.despike_sql) +
+        # forward as-of tide join + horizontal correction. The 30-day
+        # series timestamps land exactly on the 900 s tide grid and
+        # inside its span, so the forward match is the scene timestamp
+        # itself and the joined tide is tide_value_sql(t) directly.
+        "despike_tide": f"""
+            WITH RECURSIVE src AS (
+              SELECT 'T' || CAST(doc_id % 40 AS VARCHAR) AS transect,
+                     TIMESTAMP '2020-01-01 00:00:00'
+                       + (CAST(row_number() OVER (PARTITION BY doc_id % 40
+                                                  ORDER BY doc_id) AS BIGINT) - 1)
+                         * INTERVAL 2592000 SECOND AS t,
+                     (CAST((doc_id * 37) % 13 AS DOUBLE) / 10.0
+                      + CASE WHEN (doc_id * 7) % 23 = 0
+                             THEN 15.0 ELSE 0.0 END) AS chainage
+              FROM documents
+            ),
+            {_despike_sql('src', 5.0)}
+            SELECT transect, t AS scene_month,
+                   round(chainage, 4) AS chainage,
+                   round({_tide_value_sql('t')}, 4) AS tide,
+                   round(chainage + (({_tide_value_sql('t')}) - 0.0) / 0.1, 4)
+                     AS chainage_corrected
+            FROM dsp_final
         """,
         "validation_join": """
             WITH sat AS (

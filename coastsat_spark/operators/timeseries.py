@@ -45,6 +45,74 @@ def despike_timeseries(ts: DataFrame, max_cross_change: float, time_col: str = "
     )
 
 
+def despike_sql(src: str, thr: float) -> str:
+    """DuckDB recursive-CTE mirror of `kernels.despike` over
+    `src(transect, t, chainage)` — the sequential fixpoint, oracle-able
+    after all.
+
+    One recursion level = one pop of the reference's restart scan
+    (SDS_transects.py:484-594): each level recomputes every surviving
+    point's 5-point-neighborhood outlier predicate (first/last jump,
+    isolated outlier, both 2-consecutive combinations, the 1.5x-widened
+    3-cluster rule), removes the FIRST popped position, and re-emits the
+    transect's rows — unless nothing popped (fixpoint) or the pop hit
+    the last two positions (the reference's `k+1 >= len` early exit,
+    ported bug-for-bug), in which case the transect drops out of the
+    working table. Final rows = each transect's max-level rows.
+    Validated against the numpy kernel on 300 randomized spiked series
+    (tests/test_tools.py).
+
+    Returns CTE text (no leading WITH RECURSIVE) defining `dsp_step` and
+    `dsp_final(transect, t, chainage)`.
+    """
+    return f"""
+    dsp_step(transect, t, chainage, it, term) AS (
+      SELECT transect, t, chainage, 0, FALSE FROM {src}
+      UNION ALL
+      SELECT transect, t, chainage, it + 1, (p >= cnt - 2)
+      FROM (
+        SELECT s.*, min(CASE WHEN popped THEN k END)
+                 OVER (PARTITION BY transect) AS p
+        FROM (
+          SELECT transect, t, chainage, it, term,
+                 k, cnt, dm1, dp1, dm2, dp2,
+                 CASE
+                   WHEN cnt < 2 THEN FALSE
+                   WHEN k = 0 THEN abs(dp1) > {thr!r}
+                   WHEN k = cnt - 1 THEN abs(dm1) > {thr!r}
+                   ELSE (abs(dm1) > {thr!r} AND abs(dp1) > {thr!r}
+                         AND sign(dp1) = sign(dm1))
+                     OR (k >= 2 AND k < cnt - 2 AND (
+                          (abs(dm1) > {thr!r} AND abs(dp2) > {thr!r}
+                           AND sign(dm1) = sign(dp2))
+                       OR (abs(dp1) > {thr!r} AND abs(dm2) > {thr!r}
+                           AND sign(dp1) = sign(dm2))
+                       OR (abs(dm2) > 1.5 * {thr!r} AND abs(dp2) > 1.5 * {thr!r}
+                           AND NOT abs(dm1) > {thr!r} AND NOT abs(dp1) > {thr!r}
+                           AND sign(dm2) = sign(dp2))))
+                 END AS popped
+          FROM (
+            SELECT transect, t, chainage, it, term,
+                   CAST(row_number() OVER w AS BIGINT) - 1 AS k,
+                   count(*) OVER (PARTITION BY transect) AS cnt,
+                   chainage - lag(chainage)  OVER w AS dm1,
+                   chainage - lead(chainage) OVER w AS dp1,
+                   lag(chainage) OVER w - lag(chainage, 2) OVER w AS dm2,
+                   lead(chainage) OVER w - lead(chainage, 2) OVER w AS dp2
+            FROM dsp_step
+            WINDOW w AS (PARTITION BY transect ORDER BY t)
+          )
+        ) s
+      )
+      WHERE NOT term AND p IS NOT NULL AND k <> p
+    ),
+    dsp_final AS (
+      SELECT transect, t, chainage
+      FROM (SELECT *, max(it) OVER (PARTITION BY transect) AS mit FROM dsp_step)
+      WHERE it = mit
+    )"""
+
+
 # ------------------------------------------------------ seasonal / monthly
 
 def season_bucket(ts_col: Column) -> Column:
