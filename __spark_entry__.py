@@ -4,9 +4,12 @@
 sf0.001 webpages table. `queries()` exposes one callable per implemented
 operator family from SURVEY.md §2 (plus the training-data-pipeline ops);
 `oracle_sql()` gives the DuckDB-equivalent SQL for every relationally
-expressible one. Raster/sequential kernels (Otsu, marching squares,
-MinHash, despike, ...) have rows-only checks here and exact NumPy-oracle
-tests under tests/.
+expressible one — including the sequential despike fixpoint (recursive
+CTE) and the Lomb-Scargle slope search (trig-moment aggregates). The
+remaining rows-only queries are hash-kernel-dependent (xxhash64:
+minhash/neardup/fingerprints), SVD-dependent (pansharpen), approximate
+by construction (ann_approx), or whole-image marching squares
+(shoreline_refined); each has exact NumPy-oracle tests under tests/.
 
 Column-name/rounding discipline: every computed column is aliased
 identically in both engines and doubles are rounded (2-6 dp) on BOTH
@@ -1129,7 +1132,12 @@ def oracle_sql() -> dict[str, str]:
         redact_pii_sql,
     )
     from coastsat_spark.functions.text import repetition_stats_sql as _repetition_stats_sql
+    import math as _math
+
     from coastsat_spark.datagen import tide_value_sql as _tide_value_sql
+    from coastsat_spark.operators.slope import (
+        slope_oracle_tail_sql as _slope_oracle_tail_sql,
+    )
     from coastsat_spark.operators.timeseries import despike_sql as _despike_sql
     from coastsat_spark.operators.timeseries import sessionize_sql as _sessionize_sql
     from coastsat_spark.operators.tiling import (
@@ -1577,6 +1585,40 @@ def oracle_sql() -> dict[str, str]:
               SELECT view_value FROM r
               WHERE r.user_id = l.user_id AND r.ts >= l.ts
               ORDER BY r.ts LIMIT 1) m ON true
+        """,
+        # R16 Lomb-Scargle beach-slope estimation, fully relational: the
+        # GLS periodogram is per-(transect, freq) trig-moment aggregates,
+        # peak picking / slope-energy argmin / interpolated CI mirror the
+        # numpy kernels (operators/slope.py slope_oracle_tail_sql). The
+        # series mirrors q_slope_estimation exactly — note the kernel's
+        # time axis is the EPOCH timestamp while tide/chainage are built
+        # from the unshifted i*8d grid, replicated faithfully here.
+        "slope_estimation": f"""
+            WITH src AS (
+              SELECT transect,
+                     '{1577836800.0!r}'::DOUBLE + tr AS t,
+                     tide,
+                     {50.0!r} + {5.0!r} * sin(tr * {2 * _math.pi / (365.25 * 86400)!r})
+                       - tide / sl_true AS chainage
+              FROM (
+                SELECT CASE WHEN id < 150 THEN 'T_A' ELSE 'T_B' END AS transect,
+                       CASE WHEN id < 150 THEN {0.08!r} ELSE {0.15!r} END AS sl_true,
+                       CAST(id % 150 AS DOUBLE) * {8.0 * 86400.0!r} AS tr,
+                       {0.5!r} * sin(CAST(id % 150 AS DOUBLE) * {8.0 * 86400.0!r}
+                                     * {2 * _math.pi / (12.4206 * 3600)!r})
+                         + {0.2!r} * sin(CAST(id % 150 AS DOUBLE) * {8.0 * 86400.0!r}
+                                         * {2 * _math.pi / (14.77 * 86400)!r}) AS tide
+                FROM generate_series(0, 299) g(id)
+              )
+            ),
+            {_slope_oracle_tail_sql()},
+            cnt AS (
+              SELECT transect, CAST(count(*) AS INTEGER) AS n FROM src GROUP BY 1
+            )
+            SELECT s.transect, round(s.slope, 4) AS slope,
+                   round(s.ci_low, 4) AS ci_low, round(s.ci_high, 4) AS ci_high,
+                   c.n
+            FROM slope_out s JOIN cnt c USING (transect)
         """,
         # W3 sequential despike fixpoint as a recursive CTE (one level per
         # pop, early-exit quirk replicated; see timeseries.despike_sql) +

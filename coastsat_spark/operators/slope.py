@@ -223,3 +223,163 @@ def estimate_slopes(
         .groupBy("transect")
         .applyInPandas(fn, schema=schema)
     )
+
+
+def slope_oracle_tail_sql(settings: "SlopeSettings | None" = None) -> str:
+    """DuckDB mirror of the full estimate_slopes chain (R16) over a CTE
+    `src(transect, t, chainage, tide)` — the Lomb-Scargle slope search,
+    oracle-able after all.
+
+    Emits CTE text (append after `WITH src AS (...)`) ending in a SELECT
+    of (transect, slope, ci_low, ci_high): the GLS floating-mean
+    periodogram (Zechmeister & Kuerster 2009) as per-(transect, freq)
+    trig-moment aggregates, strict-local-max tide-peak picking, the
+    candidate-slope energy scan (composite Simpson with the trailing
+    trapezoid), argmin, and the half-delta interpolated confidence
+    interval. The candidate grid and np.interp bracketing plan are
+    inlined as VALUES from the same `range_slopes` the kernel uses
+    (config, not data — exactly like the classify oracle's literal model
+    weights). All discrete decisions (frequency grid size, band
+    membership, peak argmax, energy argmin, CI threshold) were verified
+    to agree with the numpy kernels bit-for-bit or with macroscopic
+    margins across 5 adversarial series variants (grid-edge slopes,
+    near-buried tide, wide CI); see tests/test_slope.py.
+
+    `src` must be bit-identical in both engines: integer-derived time
+    grids and sin() of identical double arguments (sin may differ by
+    1 ulp between engines, which perturbs PSD values ~1e-15 relative —
+    every decision this chain takes has margins orders of magnitude
+    wider, and the emitted slope/ci values are exact grid decimals).
+    """
+    import numpy as np
+
+    s = settings or SlopeSettings()
+    two_pi = repr(2.0 * np.pi)
+    slopes = range_slopes(s.slope_min, s.slope_max, s.delta_slope)
+    fine = np.clip(
+        range_slopes(s.slope_min, s.slope_max, s.delta_slope / 2.0),
+        slopes[0], slopes[-1],
+    )
+    slope_vals = ",".join(
+        f"({k}, '{float(v)!r}'::DOUBLE)" for k, v in enumerate(slopes)
+    )
+    plan_rows = []
+    for x in fine:
+        eq = np.flatnonzero(slopes == x)
+        if len(eq):
+            plan_rows.append(f"('{float(x)!r}'::DOUBLE, {int(eq[0])}, NULL, NULL)")
+        else:
+            i = int(np.searchsorted(slopes, x, side="right") - 1)
+            i = min(max(i, 0), len(slopes) - 2)
+            plan_rows.append(
+                f"('{float(x)!r}'::DOUBLE, {i}, "
+                f"'{float(x - slopes[i])!r}'::DOUBLE, "
+                f"'{float(slopes[i + 1] - slopes[i])!r}'::DOUBLE)"
+            )
+    plan_vals = ",".join(plan_rows)
+    moments = """count(*) AS np,
+             avg(cos(({two_pi} * f.freq) * p.t)) AS cm,
+             avg(sin(({two_pi} * f.freq) * p.t)) AS sm,
+             avg(cos(({two_pi} * f.freq) * p.t) * cos(({two_pi} * f.freq) * p.t)) AS ecc,
+             avg(sin(({two_pi} * f.freq) * p.t) * sin(({two_pi} * f.freq) * p.t)) AS ess,
+             avg(cos(({two_pi} * f.freq) * p.t) * sin(({two_pi} * f.freq) * p.t)) AS ecs,
+             avg(cos(({two_pi} * f.freq) * p.t) * p.y) AS ecy,
+             avg(sin(({two_pi} * f.freq) * p.t) * p.y) AS esy,
+             avg(p.y) AS ym""".replace("{two_pi}", two_pi)
+    psd_case = """CASE WHEN (ecc - cm*cm) * (ess - sm*sm) - (ecs - cm*sm) * (ecs - cm*sm) > 0
+                  THEN 0.5 * np * ((ess - sm*sm) * (ecy - ym*cm) * (ecy - ym*cm)
+                                   + (ecc - cm*cm) * (esy - ym*sm) * (esy - ym*sm)
+                                   - 2.0 * (ecs - cm*sm) * (ecy - ym*cm) * (esy - ym*sm))
+                       / ((ecc - cm*cm) * (ess - sm*sm) - (ecs - cm*sm) * (ecs - cm*sm))
+                  ELSE 0.0 END AS psd"""
+    return f"""
+    tide_c1 AS (
+      SELECT transect, t, tide - avg(tide) OVER (PARTITION BY transect) AS y1
+      FROM src),
+    tide_c AS (
+      SELECT transect, t, y1 - avg(y1) OVER (PARTITION BY transect) AS y
+      FROM tide_c1),
+    gridp AS (
+      SELECT transect, 1.0 / (max(t) - min(t)) AS fmin,
+             1.0 / ({2.0 * s.n_days * 86400.0!r}) AS fmax,
+             1.0 / ({float(s.n0)!r} * (max(t) - min(t))) AS df
+      FROM src GROUP BY transect),
+    grid AS (
+      SELECT transect, fmin, df, CAST(ceil((fmax - fmin) / df) AS BIGINT) AS n_f
+      FROM gridp),
+    freqs AS (
+      SELECT g.transect, f.j, g.fmin + g.df * CAST(f.j AS DOUBLE) AS freq
+      FROM grid g JOIN generate_series(0, 99999) f(j) ON f.j < g.n_f),
+    tide_psd AS (
+      SELECT f.transect, f.j, f.freq, {moments}
+      FROM freqs f JOIN tide_c p USING (transect) GROUP BY 1, 2, 3),
+    tide_psd2 AS (
+      SELECT transect, j, freq, {psd_case}
+      FROM tide_psd),
+    peak AS (
+      SELECT transect, max_by(freq, psd) AS fpk
+      FROM (SELECT transect, j, freq, psd,
+                   psd > lag(psd) OVER w AND psd > lead(psd) OVER w AS is_pk,
+                   max(freq) OVER (PARTITION BY transect) AS f_last
+            FROM tide_psd2 WINDOW w AS (PARTITION BY transect ORDER BY j))
+      WHERE is_pk AND freq > {s.freq_cutoff!r} AND freq < f_last - {s.delta_f!r}
+      GROUP BY transect),
+    cand(k, sl) AS (SELECT * FROM (VALUES {slope_vals})),
+    fplan(fv, lo, xoff, dx) AS (SELECT * FROM (VALUES {plan_vals})),
+    bandf AS (
+      SELECT f.transect, f.j, f.freq FROM freqs f JOIN peak USING (transect)
+      WHERE f.freq >= fpk - {s.delta_f!r} AND f.freq <= fpk + {s.delta_f!r}),
+    sy1 AS (
+      SELECT p.transect, c.k, c.sl, p.t, p.chainage + p.tide / c.sl AS y1
+      FROM src p CROSS JOIN cand c),
+    sy AS (
+      SELECT transect, k, sl, t, y1 - avg(y1) OVER (PARTITION BY transect, k) AS y
+      FROM sy1),
+    spsd AS (
+      SELECT f.transect, p.k, p.sl, f.j, f.freq, {moments}
+      FROM bandf f JOIN sy p USING (transect) GROUP BY 1, 2, 3, 4, 5),
+    spsd2 AS (
+      SELECT transect, k, sl, j, freq, {psd_case}
+      FROM spsd),
+    sterm AS (
+      SELECT transect, k, sl, CAST(row_number() OVER w AS BIGINT) - 1 AS i,
+             count(*) OVER (PARTITION BY transect, k) AS nf,
+             freq AS x0, psd AS y0,
+             lead(freq) OVER w AS x1, lead(psd) OVER w AS y1,
+             lead(freq, 2) OVER w AS x2, lead(psd, 2) OVER w AS y2
+      FROM spsd2 WINDOW w AS (PARTITION BY transect, k ORDER BY j)),
+    energy AS (
+      SELECT transect, k, sl, sum(
+        CASE
+          WHEN i % 2 = 0 AND i + 2 < nf THEN
+            (((x1 - x0) + (x2 - x1)) / 6.0) * (
+              y0 * (2.0 - (x2 - x1) / (x1 - x0))
+              + y1 * (((x1 - x0) + (x2 - x1)) * ((x1 - x0) + (x2 - x1))
+                      / ((x1 - x0) * (x2 - x1)))
+              + y2 * (2.0 - (x1 - x0) / (x2 - x1)))
+          WHEN i % 2 = 0 AND i + 2 >= nf AND i + 1 < nf THEN
+            (x1 - x0) * (y0 + y1) / 2.0
+          ELSE 0.0 END) AS e
+      FROM sterm GROUP BY 1, 2, 3),
+    best AS (
+      SELECT transect, sl AS slope_best, emin FROM (
+        SELECT transect, k, sl, e, min(e) OVER (PARTITION BY transect) AS emin,
+               row_number() OVER (PARTITION BY transect ORDER BY e, k) AS rn
+        FROM energy) WHERE rn = 1),
+    efine AS (
+      SELECT lo_e.transect, f.fv,
+             CASE WHEN f.xoff IS NULL THEN lo_e.e
+                  ELSE (hi_e.e - lo_e.e) / f.dx * f.xoff + lo_e.e END AS ef
+      FROM fplan f
+      JOIN energy lo_e ON lo_e.k = f.lo
+      LEFT JOIN energy hi_e ON hi_e.k = f.lo + 1 AND hi_e.transect = lo_e.transect),
+    ci AS (
+      SELECT e.transect, count(*) AS nlow, min(fv) AS lo, max(fv) AS hi
+      FROM efine e JOIN best b USING (transect)
+      WHERE e.ef <= b.emin * {1.0 + s.prc_conf!r} GROUP BY 1),
+    slope_out AS (
+      SELECT b.transect, b.slope_best AS slope,
+             CASE WHEN c.nlow > 1 THEN c.lo ELSE b.slope_best END AS ci_low,
+             CASE WHEN c.nlow > 1 THEN c.hi ELSE b.slope_best END AS ci_high
+      FROM best b JOIN ci c USING (transect))
+"""
