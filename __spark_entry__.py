@@ -5,11 +5,13 @@ sf0.001 webpages table. `queries()` exposes one callable per implemented
 operator family from SURVEY.md §2 (plus the training-data-pipeline ops);
 `oracle_sql()` gives the DuckDB-equivalent SQL for every relationally
 expressible one — including the sequential despike fixpoint (recursive
-CTE) and the Lomb-Scargle slope search (trig-moment aggregates). The
-remaining rows-only queries are hash-kernel-dependent (xxhash64:
-minhash/neardup/fingerprints), SVD-dependent (pansharpen), approximate
-by construction (ann_approx), or whole-image marching squares
-(shoreline_refined); each has exact NumPy-oracle tests under tests/.
+CTE), the Lomb-Scargle slope search (trig-moment aggregates), and the
+xxhash64-dependent dedup trio (minhash_assign / neardup_pairs /
+fingerprints: Spark's XXH64 replayed bit-for-bit in SQL via HUGEINT
+split arithmetic, hashing.xxh64_string_steps). The remaining rows-only
+queries are SVD-dependent (pansharpen), approximate by construction
+(ann_approx), or whole-image marching squares (shoreline_refined); each
+has exact NumPy-oracle tests under tests/.
 
 Column-name/rounding discipline: every computed column is aliased
 identically in both engines and doubles are rounded (2-6 dp) on BOTH
@@ -878,8 +880,8 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rolling document fingerprint: JVM tokenize+xxhash64, vectorized
-    # numpy Horner fold (no per-byte/per-token Python; rows-only because
-    # DuckDB has no xxhash64 to mirror the token hashes)
+    # numpy Horner fold (no per-byte/per-token Python); DuckDB-oracled
+    # via the SQL XXH64 mirror (functions.text.fingerprint_oracle_sql)
     from coastsat_spark.functions.text import fingerprint_col
 
     d = spark.read.parquet(_t(sf_dir, "documents"))
@@ -1334,9 +1336,23 @@ def oracle_sql() -> dict[str, str]:
         FROM px GROUP BY 1, 2
     """
     from coastsat_spark.operators.multimodal import multimodal_oracle_sql
+    from coastsat_spark.functions.text import fingerprint_oracle_sql
+    from coastsat_spark.operators.dedup import (
+        minhash_assign_oracle_sql,
+        neardup_oracle_sql,
+    )
 
     return {
         "pixel_aggregate": pixel_aggregate_sql,
+        # the xxhash64-dependent trio, oracle-able after all: the SQL
+        # replays Spark's XXH64 bit-for-bit (hashing.xxh64_string_steps,
+        # HUGEINT split arithmetic) and the numpy shingle/slot/band/CC
+        # algebra on top — see the *_oracle_sql docstrings for the
+        # exactness arguments (dyadic est_jaccard, pigeonhole simhash,
+        # recursive-CTE components)
+        "fingerprints": fingerprint_oracle_sql(),
+        "neardup_pairs": neardup_oracle_sql(),
+        "minhash_assign": minhash_assign_oracle_sql(),
         "scene_quality": scene_quality_sql,
         "multimodal_features": multimodal_oracle_sql(500),
         "transect_intersections": transect_intersections_sql,

@@ -577,3 +577,33 @@ def pii_count_sql(text_expr: str) -> str:
         parts.append(f"len(regexp_extract_all({col}, '{pat}'))")
         col = f"regexp_replace({col}, '{pat}', '', 'g')"
     return "(" + " + ".join(parts) + ")"
+
+
+def fingerprint_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB mirror of q_fingerprints (fingerprint_col): per-token Spark
+    xxhash64 (hashing.xxh64_string_steps) folded Horner-style,
+    h = sum_i th_i * BASE^(n-1-i) mod 2^64 — the BASE powers come from a
+    recursive CTE of wrapping multiplies, the per-token contributions sum
+    in HUGEINT (< 2^64 * n_tokens, far inside 128 bits) and reduce mod
+    2^64 once per document. Docs with NULL text or zero alnum tokens
+    fingerprint to 0, exactly np_fingerprints' empty-doc path."""
+    from ..hashing import U64, mulmod64_cols_sql, mulmod64_sql, u64_to_i64_sql
+    from ..operators.dedup import tokhash_cte_sql  # lazy: avoid cycles
+
+    return f"""
+    WITH RECURSIVE {tokhash_cte_sql(table, id_col)},
+    nd AS (SELECT doc_id, max(pos) AS n FROM tokh GROUP BY 1),
+    pw(e, p) AS (
+      SELECT 0, CAST(1 AS UBIGINT)
+      UNION ALL
+      SELECT e + 1, {mulmod64_sql('p', int(_FP_BASE))}
+      FROM pw WHERE e + 1 < (SELECT max(n) FROM nd)),
+    fpu AS (
+      SELECT t.doc_id,
+             CAST(sum(CAST({mulmod64_cols_sql('t.th', 'pw.p')} AS HUGEINT))
+                  % {U64} AS UBIGINT) AS fp_u
+      FROM tokh t JOIN nd USING (doc_id) JOIN pw ON pw.e = nd.n - t.pos
+      GROUP BY 1)
+    SELECT d.{id_col} AS doc_id,
+           coalesce({u64_to_i64_sql('f.fp_u')}, 0) AS fp
+    FROM {table} d LEFT JOIN fpu f ON f.doc_id = d.{id_col}"""

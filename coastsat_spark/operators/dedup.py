@@ -603,3 +603,210 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------- DuckDB mirrors
+#
+# Relational replicas of the xxhash64-dependent dedup chain so the driver
+# can value-hash-check minhash_assign / neardup_pairs (and, via
+# functions.text, fingerprints) against DuckDB — previously rows-only
+# because DuckDB lacks xxhash64. hashing.xxh64_string_steps replays
+# Spark's XXH64 (seed 42, UTF-8 bytes) bit-for-bit in SQL; everything
+# above it (shingle digests, multiply-shift slots, band folds, star
+# edges, connected components) is the same uint64 algebra the numpy
+# kernels compute, expressed over HUGEINT split arithmetic.
+
+
+def tokhash_cte_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """CTE text (no leading WITH) ending in ``tokh(doc_id, pos, th)``:
+    per-token Spark-xxhash64 values (UBIGINT) in document order, exactly
+    `token_hashes_col` — same '[a-z]+|[0-9]+' runs over lower(text), so
+    tokens are ASCII and <32 bytes by construction (the string-hash mirror
+    emits NULL, a loud oracle failure, if either assumption ever breaks)."""
+    from ..hashing import staged_sql, u64_to_i64_sql, xxh64_string_steps  # noqa: F401
+
+    toks = f"""
+      SELECT {id_col} AS doc_id,
+             generate_subscripts(toks, 1) AS pos,
+             unnest(toks) AS tok
+      FROM (SELECT {id_col},
+                   regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+') AS toks
+            FROM {table} WHERE {text_col} IS NOT NULL)
+    """
+    hashed = staged_sql(toks, xxh64_string_steps("tok", "th", "x_"))
+    return f"tokh AS (SELECT doc_id, pos, th FROM ({hashed}))"
+
+
+def _minhash_sig_cte_sql(k: int, shingle_words: int, seed: int) -> str:
+    """CTE text from ``tokh`` to ``sig(doc_id, slot, v)`` — the MinHash
+    signature slots of np_minhash_hashes: 3-token shingle digests
+    (shifted-multiply fold + splitmix64, short docs padded (t0, last,
+    last)), then per-slot multiply-shift minima. Slot/mix constants are
+    generated by the same hashing.splitmix64 the kernel uses."""
+    assert shingle_words == 3, "mirror is written for the default w=3"
+    from ..hashing import (
+        addmod64_sql,
+        mulmod64_cols_sql,
+        mulmod64_sql,
+        splitmix64,
+        splitmix64_steps,
+        staged_sql,
+        U64,
+    )
+
+    mix = splitmix64(np.arange(shingle_words, dtype=np.uint64) + np.uint64(seed * 77 + 5))
+    rng_idx = np.arange(k, dtype=np.uint64)
+    slot_a = splitmix64(rng_idx + np.uint64(seed * 1000 + 1)) | np.uint64(1)
+    slot_b = splitmix64(rng_idx + np.uint64(seed * 1000 + 7919))
+    slot_vals = ",".join(
+        f"({i}, {int(a)}::UBIGINT, {int(b)}::UBIGINT)"
+        for i, (a, b) in enumerate(zip(slot_a, slot_b))
+    )
+    draw = (
+        f"CAST(({ '+'.join(f'CAST({mulmod64_sql(t, int(m))} AS HUGEINT)' for t, m in zip(('t0','t1','t2'), mix)) })"
+        f" % {U64} AS UBIGINT)"
+    )
+    digested = staged_sql(
+        f"SELECT doc_id, {draw} AS draw FROM shing",
+        splitmix64_steps("draw", "dig", "sm_"),
+    )
+    return f"""
+    sh3 AS (
+      SELECT doc_id, th AS t0, lead(th) OVER w AS t1, lead(th, 2) OVER w AS t2
+      FROM tokh WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    shpad AS (
+      SELECT doc_id, first(th ORDER BY pos) AS t0,
+             last(th ORDER BY pos) AS t1, last(th ORDER BY pos) AS t2
+      FROM tokh GROUP BY doc_id HAVING count(*) < 3),
+    shing AS (
+      SELECT doc_id, t0, t1, t2 FROM sh3 WHERE t2 IS NOT NULL
+      UNION ALL SELECT doc_id, t0, t1, t2 FROM shpad),
+    digs AS (SELECT doc_id, dig FROM ({digested})),
+    slots(slot, sa, sb) AS (SELECT * FROM (VALUES {slot_vals})),
+    sig AS (
+      SELECT doc_id, slot,
+             min({addmod64_sql(mulmod64_cols_sql('dig', 'sa'), 'sb')}) AS v
+      FROM digs CROSS JOIN slots GROUP BY 1, 2),
+    sigb AS (
+      SELECT doc_id, slot // 4 AS band,
+             max(CASE WHEN slot % 4 = 0 THEN v END) AS s0,
+             max(CASE WHEN slot % 4 = 1 THEN v END) AS s1,
+             max(CASE WHEN slot % 4 = 2 THEN v END) AS s2,
+             max(CASE WHEN slot % 4 = 3 THEN v END) AS s3
+      FROM sig GROUP BY 1, 2)"""
+
+
+def neardup_oracle_sql(
+    k: int = 128,
+    bands: int = 32,
+    threshold: float = 0.7,
+    max_hamming: int = 3,
+    seed: int = 42,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of q_neardup_pairs: MinHash-LSH pairs (banded
+    xxhash64 bucket keys -> distinct candidates -> slot-agreement
+    Jaccard >= threshold) UNION simhash pairs. The simhash side is
+    computed as the all-pairs hamming filter, which equals the banded
+    join + refine EXACTLY by pigeonhole: max_hamming=3 < 4 bands means
+    every qualifying pair shares at least one exact 16-bit block, so
+    banding changes the candidate set but never the refined result.
+    est_jaccard = n/k is a dyadic rational (exact in doubles in both
+    engines); round(x, 6) agrees because n*15625/2 is exactly
+    representable and both engines round halves away from zero."""
+    assert k // bands == 4, "band-key mirror is written for r = k/bands = 4"
+    from ..hashing import (
+        addmod64_sql,
+        splitmix64_steps,
+        staged_sql,
+        xxh64_longs_chain_steps,
+    )
+
+    bkeyed = staged_sql(
+        "SELECT doc_id, band, s0, s1, s2, s3 FROM sigb",
+        xxh64_longs_chain_steps(["s0", "s1", "s2", "s3"], "bkey", "L"),
+    )
+    simhashed = staged_sql(
+        f"SELECT doc_id, {addmod64_sql('th', seed)} AS thp FROM tokh",
+        splitmix64_steps("thp", "hs", "sh_"),
+    )
+    return f"""
+    WITH {tokhash_cte_sql(table)},
+    {_minhash_sig_cte_sql(k, 3, seed)},
+    bkeys AS (SELECT doc_id, band, bkey FROM ({bkeyed})),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bkeys a JOIN bkeys b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    mh AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / CAST({k} AS DOUBLE) AS est
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.slot = sa.slot
+      GROUP BY 1, 2),
+    hsh AS (SELECT doc_id, hs FROM ({simhashed})),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (hs >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hsh CROSS JOIN generate_series(0, 63) b(bit) GROUP BY 1, 2),
+    sfp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0
+                      THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                      ELSE 0 END) AS UBIGINT) AS fp
+      FROM votes GROUP BY 1),
+    sh AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.fp, b.fp)) AS hamming
+      FROM sfp a JOIN sfp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming})
+    SELECT 'minhash' AS method, id_a, id_b, round(est, 6) AS score
+    FROM mh WHERE est >= {threshold!r}
+    UNION ALL
+    SELECT 'simhash' AS method, id_a, id_b, CAST(hamming AS DOUBLE) AS score
+    FROM sh"""
+
+
+def minhash_assign_oracle_sql(
+    k: int = 128, bands: int = 32, seed: int = 42, table: str = "documents"
+) -> str:
+    """DuckDB mirror of q_minhash_assign (minhash_dedup_assign): salted
+    splitmix64 band-key folds, star edges per bucket (bucket keyed by
+    bkey VALUE across bands, exactly the _star_edges window), connected
+    components as a recursive reachability closure, canonical = min id
+    in component; docs outside every dup bucket map to themselves."""
+    assert k // bands == 4
+    from ..hashing import splitmix64, splitmix64_steps, staged_sql
+
+    salts = splitmix64(np.arange(bands, dtype=np.uint64) + np.uint64(0xB00B5))
+    salt_vals = ",".join(f"({b}, {int(s)}::UBIGINT)" for b, s in enumerate(salts))
+    folded = staged_sql(
+        "SELECT doc_id, sigb.band, s0, s1, s2, s3, salt FROM sigb JOIN salts ON salts.band = sigb.band",
+        [("a0", "salt")]
+        + splitmix64_steps("xor(a0, s0)", "a1", "f0_")
+        + splitmix64_steps("xor(a1, s1)", "a2", "f1_")
+        + splitmix64_steps("xor(a2, s2)", "a3", "f2_")
+        + splitmix64_steps("xor(a3, s3)", "bkey", "f3_"),
+    )
+    return f"""
+    WITH RECURSIVE {tokhash_cte_sql(table)},
+    {_minhash_sig_cte_sql(k, 3, seed)},
+    salts(band, salt) AS (SELECT * FROM (VALUES {salt_vals})),
+    bkeys AS (SELECT doc_id, bkey FROM ({folded})),
+    stars AS (
+      SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY bkey) AS b,
+             count(*) OVER (PARTITION BY bkey) AS n
+      FROM bkeys),
+    edges AS (SELECT DISTINCT a, b FROM stars WHERE n > 1 AND a <> b),
+    esym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(n, m) AS (
+      SELECT a, b FROM esym
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN esym e ON e.a = r.m WHERE e.b <> r.n),
+    comp AS (SELECT n AS doc_id, least(n, min(m)) AS canonical_id
+             FROM reach GROUP BY 1)
+    SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+    FROM {table} d LEFT JOIN comp c USING (doc_id)"""

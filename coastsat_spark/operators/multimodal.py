@@ -313,24 +313,15 @@ def audio_frame_samples(media: DataFrame, frame_ms: int = 25) -> DataFrame:
 
 # --------------------------------------------------------- DuckDB mirror
 
-_U64 = 18446744073709551616  # 2^64
+# 64-bit wrap arithmetic + constants shared with the broader SQL hash
+# mirrors (xxhash64 / splitmix64 emitters) in coastsat_spark.hashing
+from ..hashing import SM_GOLDEN as _SM_GOLDEN  # noqa: E402
+from ..hashing import SM_M1 as _SM_M1  # noqa: E402
+from ..hashing import SM_M2 as _SM_M2  # noqa: E402
+from ..hashing import U64 as _U64  # noqa: E402
+from ..hashing import mulmod64_sql as _mulmod64_sql  # noqa: E402
+
 _SM_MUL = 0x2545F4914F6CDD1D
-_SM_GOLDEN = 0x9E3779B97F4A7C15
-_SM_M1 = 0xBF58476D1CE4E5B9
-_SM_M2 = 0x94D049BB133111EB
-
-
-def _mulmod64_sql(expr: str, c: int) -> str:
-    """`expr * c mod 2^64` over UBIGINT via HUGEINT split-multiply
-    (DuckDB UBIGINT arithmetic raises on overflow instead of wrapping):
-    a*c = a*c_lo + ((a*c_hi mod 2^32) << 32)  (mod 2^64), every
-    intermediate < 2^97 so it fits signed 128-bit HUGEINT."""
-    ch, cl = c >> 32, c & 0xFFFFFFFF
-    return (
-        f"CAST(((CAST({expr} AS HUGEINT) * {cl}) % {_U64}"
-        f" + ((CAST({expr} AS HUGEINT) * {ch}) % 4294967296) * 4294967296)"
-        f" % {_U64} AS UBIGINT)"
-    )
 
 
 def splitmix_hash_sql(
