@@ -8,10 +8,11 @@ expressible one — including the sequential despike fixpoint (recursive
 CTE), the Lomb-Scargle slope search (trig-moment aggregates), and the
 xxhash64-dependent dedup trio (minhash_assign / neardup_pairs /
 fingerprints: Spark's XXH64 replayed bit-for-bit in SQL via HUGEINT
-split arithmetic, hashing.xxh64_string_steps). The remaining rows-only
-queries are SVD-dependent (pansharpen), approximate by construction
-(ann_approx), or whole-image marching squares (shoreline_refined); each
-has exact NumPy-oracle tests under tests/.
+split arithmetic, hashing.xxh64_string_steps), and the class-refined
+shoreline extraction (per-owner-tile buffered marching squares,
+refined_crossings_oracle_sql). The two remaining rows-only queries are
+SVD-dependent (pansharpen) and approximate by construction (ann_approx);
+each has exact NumPy-oracle tests under tests/.
 
 Column-name/rounding discipline: every computed column is aliased
 identically in both engines and doubles are rounded (2-6 dp) on BOTH
@@ -705,14 +706,18 @@ def q_shoreline_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     # R7 + find_wl_contours2: extraction gated by the buffer around the
     # previous round's shoreline, thresholding via the class-refined
     # branch where sand pixels exist (SDS_shoreline.py:195-202, 525-584).
-    from coastsat_spark.operators import raster, tiling
+    # DuckDB-value-hash-checked end to end (refined_crossings_oracle_sql):
+    # like shoreline_crossings, the query projects the DISTINCT sub-pixel
+    # crossing set (min_contour_len_px=0 so polyline structure — covered
+    # by shoreline_extract tests/bench — drops out), over the relational
+    # pixel mirror so SQL can replay the base pass, the per-tile buffer
+    # dilation, the classify+balanced-subsample refined Otsu, and the
+    # fallback, with the refined threshold exposed as t_mndwi.
+    from coastsat_spark.operators import raster
 
-    docs = _webpages(spark, sf_dir)
-    prepared = tiling.prepare_documents(docs)
-    px = raster.aggregate_pixels(prepared).persist()
-    s0 = raster.ShorelineSettings()
-    q = raster.scene_quality(px, s0)
-    base = raster.extract_shorelines(px, s0, quality=q)
+    px = _doc_pixels(spark, sf_dir).persist()
+    s0 = raster.ShorelineSettings(grid_log2=_OR_GRID_LOG2, min_contour_len_px=0.0)
+    base = raster.extract_shorelines(px, s0)
     # rasterize the prior shoreline onto the tile grids (small: one
     # polyline set per world tile) — the reference_shoreline input
     ref = (
@@ -724,8 +729,17 @@ def q_shoreline_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .toPandas()
     )
-    s1 = raster.ShorelineSettings(min_sand_px=2, max_dist_ref=1.5)
-    return raster.extract_shorelines(px, s1, quality=q, reference=ref)
+    s1 = raster.ShorelineSettings(
+        grid_log2=_OR_GRID_LOG2, min_contour_len_px=0.0,
+        min_sand_px=2, max_dist_ref=1.5,
+    )
+    pts = raster.extract_shorelines(px, s1, reference=ref)
+    return pts.select(
+        "tile", "scene_month",
+        F.round("px_x", 6).alias("px_x"),
+        F.round("px_y", 6).alias("px_y"),
+        F.round("t_mndwi", 6).alias("t_mndwi"),
+    ).distinct()
 
 
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,11 +1329,18 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """
     from coastsat_spark.operators.classify import classify_oracle_sql
-    from coastsat_spark.operators.raster import crossings_oracle_sql
+    from coastsat_spark.operators.raster import (
+        crossings_oracle_sql,
+        refined_crossings_oracle_sql,
+    )
 
     shoreline_crossings_sql = f"""
         WITH {obs_ctes},
         {crossings_oracle_sql(_OR_GRID_LOG2, tile_res=_OR_TILE_RES)}
+    """
+    shoreline_refined_sql = f"""
+        WITH {obs_ctes},
+        {refined_crossings_oracle_sql(_OR_GRID_LOG2, tile_res=_OR_TILE_RES)}
     """
     classify_scenes_sql = f"""
         WITH {obs_ctes},
@@ -1361,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "class_histogram": class_histogram_sql,
         "classify_scenes": classify_scenes_sql,
         "shoreline_crossings": shoreline_crossings_sql,
+        "shoreline_refined": shoreline_refined_sql,
         "qc_timeseries": qc_timeseries_sql,
         "text_extraction": """
             WITH h AS (

@@ -746,3 +746,313 @@ def crossings_oracle_sql(
                round(t, 6) AS t_mndwi
         FROM kept
     """
+
+
+def _otsu_tile_ctes(src: str, p: str) -> str:
+    """CTE text: per-(tile, scene_month) NumPy-faithful 256-bin Otsu over
+    the value rows of CTE ``src(tile, scene_month, v)`` -> ``{p}otsu(tile,
+    scene_month, t)``. Degenerate groups (all values equal) emit t = lo,
+    exactly kernels.otsu_threshold; empty groups emit no row (NaN analog).
+    Shares the binning fast-path corrections and the argmax-plateau rule
+    with crossings_oracle_sql (see the comments there)."""
+    return f"""
+    {p}lh AS (
+      SELECT tile, scene_month, min(v) AS lo, max(v) AS hi
+      FROM {src} GROUP BY 1, 2),
+    {p}b0 AS (
+      SELECT s.tile, s.scene_month, s.v, l.lo, l.hi,
+             CAST(floor((s.v - l.lo) * (256.0 / (l.hi - l.lo))) AS INT) AS k0
+      FROM {src} s JOIN {p}lh l USING (tile, scene_month) WHERE l.hi > l.lo),
+    {p}b1 AS (SELECT *, CASE WHEN k0 = 256 THEN 255 ELSE k0 END AS k1 FROM {p}b0),
+    {p}b2 AS (
+      SELECT tile, scene_month,
+             CASE WHEN v < (k1 * ((hi - lo) / 256.0) + lo) THEN k1 - 1
+                  WHEN k1 <> 255
+                       AND v >= ((k1 + 1) * ((hi - lo) / 256.0) + lo) THEN k1 + 1
+                  ELSE k1 END AS k
+      FROM {p}b1),
+    {p}hist AS (
+      SELECT l.tile, l.scene_month, b.k, l.lo, l.hi,
+             CAST(count({p}b2.k) AS DOUBLE) AS cnt
+      FROM {p}lh l CROSS JOIN bins b
+      LEFT JOIN {p}b2 ON {p}b2.tile = l.tile AND {p}b2.scene_month = l.scene_month
+                     AND {p}b2.k = b.k
+      WHERE l.hi > l.lo
+      GROUP BY 1, 2, 3, 4, 5),
+    {p}cum AS (
+      SELECT tile, scene_month, k, lo, hi,
+             sum(cnt) OVER w AS w0,
+             sum(cnt * ((k * ((hi - lo) / 256.0) + lo
+                         + (k + 1) * ((hi - lo) / 256.0) + lo) / 2.0)) OVER w AS m,
+             sum(cnt) OVER t AS n_tot,
+             sum(cnt * ((k * ((hi - lo) / 256.0) + lo
+                         + (k + 1) * ((hi - lo) / 256.0) + lo) / 2.0)) OVER t AS m_tot
+      FROM {p}hist
+      WINDOW w AS (PARTITION BY tile, scene_month ORDER BY k
+                   ROWS UNBOUNDED PRECEDING),
+             t AS (PARTITION BY tile, scene_month)),
+    {p}betw AS (
+      SELECT tile, scene_month, k, lo, hi,
+             w0 * (n_tot - w0)
+             * pow(CASE WHEN w0 > 0 THEN m / greatest(w0, 1.0) ELSE 0.0 END
+                   - CASE WHEN (n_tot - w0) > 0
+                          THEN (m_tot - m) / greatest(n_tot - w0, 1.0)
+                          ELSE 0.0 END, 2) AS between_var
+      FROM {p}cum WHERE k <= 254),
+    {p}otsu AS (
+      SELECT tile, scene_month,
+             (k * ((hi - lo) / 256.0) + lo
+              + (k + 1) * ((hi - lo) / 256.0) + lo) / 2.0 AS t
+      FROM (SELECT *,
+                   max(between_var) OVER (PARTITION BY tile, scene_month) AS mxv
+            FROM {p}betw)
+      WHERE between_var >= mxv - abs(mxv) * 1e-12
+      QUALIFY row_number() OVER (PARTITION BY tile, scene_month ORDER BY k ASC) = 1
+      UNION ALL
+      SELECT tile, scene_month, lo AS t FROM {p}lh WHERE hi = lo)"""
+
+
+def _crossing_tile_ctes(p: str, w: str, vc: str, tsrc: str, g: int, dist_cloud_px: float) -> str:
+    """CTE text: marching-squares crossing points per OWNER TILE from the
+    frame-coordinate window view ``w(otile, scene_month, ptile, fy, fx,
+    <vc>, cloud)`` and thresholds ``tsrc(tile, scene_month, t)`` ->
+    ``{p}kept(otile, scene_month, py, px_, t)`` (raw sub-pixel coords).
+    Mirrors crossings_oracle_sql's edge/ownership/NaN-cell/J7 logic, but
+    in per-tile frame coordinates so the VALUE column itself may be
+    owner-dependent (the R7 buffer NaNs pixels per owning tile)."""
+    return f"""
+    {p}ed AS (
+      SELECT a.otile, a.scene_month, a.fy, a.fx, 'v' AS dir,
+             a.{vc} AS va, b.{vc} AS vb
+      FROM {w} a JOIN {w} b
+        ON b.otile = a.otile AND b.scene_month = a.scene_month
+       AND b.fx = a.fx AND b.fy = a.fy + 1
+      WHERE a.{vc} IS NOT NULL AND b.{vc} IS NOT NULL
+      UNION ALL
+      SELECT a.otile, a.scene_month, a.fy, a.fx, 'h',
+             a.{vc}, b.{vc}
+      FROM {w} a JOIN {w} b
+        ON b.otile = a.otile AND b.scene_month = a.scene_month
+       AND b.fy = a.fy AND b.fx = a.fx + 1
+      WHERE a.{vc} IS NOT NULL AND b.{vc} IS NOT NULL),
+    {p}pt AS (
+      SELECT e.otile, e.scene_month, e.fy, e.fx, e.dir, t.t,
+             CASE WHEN e.dir = 'v' THEN e.fy + (t.t - e.va) / (e.vb - e.va)
+                  ELSE CAST(e.fy AS DOUBLE) END AS py,
+             CASE WHEN e.dir = 'h' THEN e.fx + (t.t - e.va) / (e.vb - e.va)
+                  ELSE CAST(e.fx AS DOUBLE) END AS px_
+      FROM {p}ed e JOIN {tsrc} t
+        ON t.tile = e.otile AND t.scene_month = e.scene_month
+      WHERE (e.va > t.t) <> (e.vb > t.t)),
+    {p}own AS (
+      SELECT * FROM {p}pt
+      WHERE py >= -0.5 AND py < {g} - 0.5 AND px_ >= -0.5 AND px_ < {g} - 0.5),
+    {p}vcell AS (
+      SELECT c00.otile, c00.scene_month, c00.fy AS r, c00.fx AS c
+      FROM {w} c00
+      JOIN {w} c01 ON c01.otile = c00.otile AND c01.scene_month = c00.scene_month
+                  AND c01.fy = c00.fy AND c01.fx = c00.fx + 1
+      JOIN {w} c10 ON c10.otile = c00.otile AND c10.scene_month = c00.scene_month
+                  AND c10.fy = c00.fy + 1 AND c10.fx = c00.fx
+      JOIN {w} c11 ON c11.otile = c00.otile AND c11.scene_month = c00.scene_month
+                  AND c11.fy = c00.fy + 1 AND c11.fx = c00.fx + 1
+      WHERE c00.{vc} IS NOT NULL AND c01.{vc} IS NOT NULL
+        AND c10.{vc} IS NOT NULL AND c11.{vc} IS NOT NULL),
+    {p}kept AS (
+      SELECT o.otile, o.scene_month, o.py, o.px_, o.t FROM {p}own o
+      WHERE EXISTS (
+        SELECT 1 FROM {p}vcell vc
+        WHERE vc.otile = o.otile AND vc.scene_month = o.scene_month
+          AND ((o.dir = 'v' AND vc.r = o.fy AND vc.c IN (o.fx - 1, o.fx))
+            OR (o.dir = 'h' AND vc.c = o.fx AND vc.r IN (o.fy - 1, o.fy))))
+      AND NOT EXISTS (
+        SELECT 1 FROM {w} cl
+        WHERE cl.otile = o.otile AND cl.scene_month = o.scene_month
+          AND cl.cloud = 1
+          AND (cl.fy - o.py) * (cl.fy - o.py)
+            + (cl.fx - o.px_) * (cl.fx - o.px_)
+            <= {dist_cloud_px!r} * {dist_cloud_px!r}))"""
+
+
+def refined_crossings_oracle_sql(
+    grid_log2: int,
+    s: "ShorelineSettings | None" = None,
+    tile_res: int = cells.TILE_RES,
+) -> str:
+    """DuckDB mirror of the CLASS-REFINED extraction's crossing-point set
+    (R7 reference buffer + R9 refined Otsu, find_wl_contours2 path,
+    SDS_shoreline.py:195-202, 453-519, 525-584): a base pass (global
+    Otsu, min_contour_len_px=0) produces the reference shoreline, its
+    rounded distinct points dilate into a per-tile buffer (radius
+    max_dist_ref, grid-aligned disk exactly like kernels.buffer_mask),
+    and the refined pass NaNs pixels outside the buffer PER OWNING TILE,
+    gates water/land presence on the buffered values, classifies the core
+    grid (the literal-weight mirror classify_oracle_sql, nested), picks
+    the class-refined threshold when >= min_sand_px sand pixels survive
+    (balanced smallest-hash_stream-key subsample of water+sand values,
+    931/932 streams) with global-Otsu fallback, and re-extracts.
+
+    Unlike crossings_oracle_sql (world-coordinate edges, tile-independent
+    values), everything here runs in per-owner-tile FRAME coordinates
+    because the buffer makes the value grid owner-dependent: each
+    candidate owner sees its own buffered view of the shared pixels, and
+    the half-open core-box ownership rule dedups exactly as the kernel
+    does. Composes after the `px` CTE like the sibling oracles.
+    """
+    from ..hashing import (
+        SM_GOLDEN,
+        U64,
+        addmod64_sql,
+        mulmod64_sql,
+        splitmix64_steps,
+        staged_sql,
+    )
+    from .classify import CLASS_SAND, CLASS_WATER, classify_oracle_sql
+
+    s = s or ShorelineSettings(grid_log2=grid_log2, min_sand_px=2, max_dist_ref=1.5)
+    assert s.min_sand_px is not None and s.max_dist_ref is not None
+    g = 1 << grid_log2
+    XB_MASK = (1 << cells.X_BITS) - 1
+    W = (1 << tile_res) * g
+    total_px = g * g
+    SM_MUL = 0x2545F4914F6CDD1D
+    r2 = s.max_dist_ref * s.max_dist_ref
+
+    def wrapx(d: str) -> str:
+        return f"CAST(({d}) - {W} * round(({d}) / {W}.0) AS BIGINT)"
+
+    txe = f"((t.otile >> {cells.X_BITS}) & {XB_MASK}) * {g}"
+    tye = f"(t.otile & {XB_MASK}) * {g}"
+    # selection keys: hash_stream(idx, 931|932, 42) = splitmix64(
+    # idx*SM_MUL + stream*GOLDEN + seed), stream by class
+    c_w = (931 * SM_GOLDEN + 42) % U64
+    c_s = (932 * SM_GOLDEN + 42) % U64
+    keyed = staged_sql(
+        "SELECT * FROM sel0",
+        [
+            ("m0", mulmod64_sql("idx", SM_MUL)),
+            ("m1", f"CASE WHEN label = {CLASS_WATER} THEN {addmod64_sql('m0', c_w)}"
+                   f" ELSE {addmod64_sql('m0', c_s)} END"),
+        ]
+        + splitmix64_steps("m1", "key", "k_"),
+    )
+    water_gate = (
+        f"sum(CASE WHEN {{v}} < {s.water_cut!r} THEN 1 ELSE 0 END) AS water_px,"
+        f" sum(CASE WHEN {{v}} > {s.land_cut!r} THEN 1 ELSE 0 END) AS land_px"
+    )
+    return f"""
+    f AS (
+      SELECT tile, scene_month,
+             ((tile >> {cells.X_BITS}) & {XB_MASK}) * {g} + px_col AS gx,
+             (tile & {XB_MASK}) * {g} + px_row AS gy,
+             CASE WHEN cloud_frac > {s.cloud_mask_frac!r} THEN NULL
+                  ELSE (swir - green) / (swir + green) END AS v,
+             CASE WHEN cloud_frac > {s.cloud_mask_frac!r} THEN 1 ELSE 0 END AS cloud
+      FROM px
+    ),
+    bins AS (SELECT CAST(range AS INT) AS k FROM range(256)),
+    tiles AS (SELECT DISTINCT tile AS otile FROM f),
+    w0 AS (
+      SELECT * FROM (
+        SELECT t.otile, f.scene_month, f.tile AS ptile,
+               f.gy - {tye} AS fy,
+               {wrapx(f"f.gx - {txe}")} AS fx,
+               f.v, f.cloud
+        FROM tiles t CROSS JOIN f
+      ) WHERE fy BETWEEN -1 AND {g} AND fx BETWEEN -1 AND {g}
+    ),
+    sc1 AS (
+      SELECT tile, scene_month, count(*) AS filled, sum(cloud) AS cloud_px,
+             {water_gate.format(v='v')}
+      FROM f GROUP BY 1, 2
+    ),
+    gcore AS (
+      SELECT tile, scene_month, filled, cloud_px FROM sc1
+      WHERE filled > 0 AND filled / {float(total_px)!r} >= {s.min_filled_frac!r}
+        AND cloud_px / filled <= {s.max_cloud_frac!r}
+    ),
+    g1 AS (
+      SELECT s1.tile, s1.scene_month FROM sc1 s1 JOIN gcore USING (tile, scene_month)
+      WHERE s1.water_px >= {s.min_water_px} AND s1.land_px >= {s.min_land_px}
+    ),
+    bsrc AS (
+      SELECT f.tile, f.scene_month, f.v FROM f JOIN g1 USING (tile, scene_month)
+      WHERE f.v IS NOT NULL
+    ),
+    {_otsu_tile_ctes('bsrc', 'b')},
+    {_crossing_tile_ctes('c1', 'w0', 'v', 'botsu', g, s.dist_cloud_px)},
+    refp AS (
+      SELECT DISTINCT otile AS tile,
+             CAST(round(py) AS BIGINT) AS rr, CAST(round(px_) AS BIGINT) AS rc
+      FROM c1kept
+    ),
+    refcnt AS (SELECT tile, count(*) AS nr FROM refp GROUP BY 1),
+    w2 AS (
+      SELECT w.otile, w.scene_month, w.ptile, w.fy, w.fx, w.cloud,
+             CASE WHEN rc.nr IS NULL THEN w.v
+                  WHEN EXISTS (
+                    SELECT 1 FROM refp rp WHERE rp.tile = w.otile
+                      AND (w.fy - rp.rr) * (w.fy - rp.rr)
+                        + (w.fx - rp.rc) * (w.fx - rp.rc) <= {r2!r})
+                  THEN w.v END AS v2
+      FROM w0 w LEFT JOIN refcnt rc ON rc.tile = w.otile
+    ),
+    sc2 AS (
+      SELECT otile AS tile, scene_month,
+             {water_gate.format(v='v2')}
+      FROM w2 WHERE ptile = otile GROUP BY 1, 2
+    ),
+    g2 AS (
+      SELECT s2.tile, s2.scene_month FROM sc2 s2 JOIN gcore USING (tile, scene_month)
+      WHERE s2.water_px >= {s.min_water_px} AND s2.land_px >= {s.min_land_px}
+    ),
+    labels AS (WITH {classify_oracle_sql('px', grid_log2)}),
+    sel0 AS (
+      SELECT l.tile, l.scene_month, l.label, w.v2 AS v,
+             CAST(l.px_row * {g} + l.px_col AS UBIGINT) AS idx
+      FROM labels l
+      JOIN g2 USING (tile, scene_month)
+      JOIN w2 w ON w.otile = l.tile AND w.ptile = l.tile
+               AND w.scene_month = l.scene_month
+               AND w.fy = l.px_row AND w.fx = l.px_col
+      WHERE w.v2 IS NOT NULL AND l.label IN ({CLASS_SAND}, {CLASS_WATER})
+    ),
+    keyed AS ({keyed}),
+    cnts AS (
+      SELECT tile, scene_month,
+             sum(CASE WHEN label = {CLASS_SAND} THEN 1 ELSE 0 END) AS n_s,
+             sum(CASE WHEN label = {CLASS_WATER} THEN 1 ELSE 0 END) AS n_w
+      FROM sel0 GROUP BY 1, 2
+    ),
+    rsrc AS (
+      SELECT tile, scene_month, v FROM (
+        SELECT k.tile, k.scene_month, k.v,
+               row_number() OVER (PARTITION BY k.tile, k.scene_month, k.label
+                                  ORDER BY k.key, k.idx) AS rn,
+               least(c.n_s, c.n_w) AS kk
+        FROM keyed k JOIN cnts c USING (tile, scene_month)
+      ) WHERE rn <= kk
+    ),
+    {_otsu_tile_ctes('rsrc', 'r')},
+    gsrc AS (
+      SELECT w2.otile AS tile, w2.scene_month, w2.v2 AS v
+      FROM w2 JOIN g2 ON g2.tile = w2.otile AND g2.scene_month = w2.scene_month
+      WHERE w2.ptile = w2.otile AND w2.v2 IS NOT NULL
+    ),
+    {_otsu_tile_ctes('gsrc', 'q')},
+    thr AS (
+      SELECT g2.tile, g2.scene_month,
+             CASE WHEN coalesce(c.n_s, 0) >= {s.min_sand_px}
+                       AND coalesce(c.n_w, 0) >= 1
+                  THEN r.t ELSE q.t END AS t
+      FROM g2
+      LEFT JOIN cnts c USING (tile, scene_month)
+      LEFT JOIN rotsu r USING (tile, scene_month)
+      LEFT JOIN qotsu q USING (tile, scene_month)
+    ),
+    thrf AS (SELECT * FROM thr WHERE t IS NOT NULL),
+    {_crossing_tile_ctes('c2', 'w2', 'v2', 'thrf', g, s.dist_cloud_px)}
+    SELECT DISTINCT otile AS tile, scene_month,
+           round(px_, 6) AS px_x, round(py, 6) AS px_y, round(t, 6) AS t_mndwi
+    FROM c2kept
+    """
