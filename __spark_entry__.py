@@ -743,13 +743,17 @@ def q_shoreline_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # R4: PCA pansharpening per scene over the pixel table
-    from coastsat_spark.operators import raster, tiling
+    # R4 S6-analog: per-scene PCA pansharpening (SDS_preprocess.py:466-514)
+    # over the same relational pixel mirror the pixel_aggregate oracle
+    # replays, so DuckDB can value-hash-check the whole kernel: covariance
+    # -> top eigenvector (power-iteration CTE) -> hist-match rank swap ->
+    # inverse transform (see raster.pansharpen_oracle_tail_sql).
+    from coastsat_spark.operators import raster
 
-    docs = _webpages(spark, sf_dir)
-    prepared = tiling.prepare_documents(docs)
-    px = raster.aggregate_pixels(prepared)
-    out = raster.pansharpen_scenes(px)
+    px = _doc_pixels(spark, sf_dir)
+    out = raster.pansharpen_scenes(
+        px, raster.ShorelineSettings(grid_log2=_OR_GRID_LOG2)
+    )
     from coastsat_spark.operators.tiling import BANDS
 
     return out.select(
@@ -1363,8 +1367,24 @@ def oracle_sql() -> dict[str, str]:
         neardup_oracle_sql,
     )
 
+    from coastsat_spark.operators.raster import pansharpen_oracle_tail_sql
+
+    pansharpen_sql = f"""
+        WITH RECURSIVE {obs_ctes}, {pansharpen_oracle_tail_sql(ShorelineSettings())}
+        SELECT tile, scene_month, px_row, px_col,
+               {", ".join(f'round({b}, 4) AS {b}' for b in BANDS)}
+        FROM pansharp_out
+    """
+
     return {
         "pixel_aggregate": pixel_aggregate_sql,
+        # R4 PCA pansharpen, mirrored end to end: the identity
+        # Xs = X + (histmatch(pan, pc1) - pc1) * v1 (orthonormal Vt, only
+        # PC1 replaced) means only the top covariance eigenvector is
+        # needed — a converged power-iteration recursive CTE computes it,
+        # hist_match collapses to an exact rank swap (see
+        # raster.pansharpen_oracle_tail_sql).
+        "pansharpen_scenes": pansharpen_sql,
         # the xxhash64-dependent trio, oracle-able after all: the SQL
         # replays Spark's XXH64 bit-for-bit (hashing.xxh64_string_steps,
         # HUGEINT split arithmetic) and the numpy shingle/slot/band/CC

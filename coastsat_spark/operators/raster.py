@@ -411,10 +411,14 @@ def rescale_pixels(pixels: DataFrame, cols: list[str] | None = None, prc_clip: f
     return out
 
 
-_PANSHARP_SCHEMA = (
-    "tile long, scene_month timestamp, px_row int, px_col int, "
-    + ", ".join(f"{b} double" for b in BANDS)
-)
+def _pansharp_schema(pixels: DataFrame) -> str:
+    # tile/scene_month types follow the input (timestamp scenes from the
+    # flagship path, integer scene keys from the oracle-mirror path)
+    in_types = dict(pixels.dtypes)
+    return (
+        f"tile {in_types['tile']}, scene_month {in_types['scene_month']}, "
+        "px_row int, px_col int, " + ", ".join(f"{b} double" for b in BANDS)
+    )
 
 
 def pansharpen_scenes(pixels: DataFrame, s: ShorelineSettings | None = None) -> DataFrame:
@@ -451,7 +455,142 @@ def pansharpen_scenes(pixels: DataFrame, s: ShorelineSettings | None = None) -> 
             out[b] = sharp[rr, cc, i]
         return pd.DataFrame(out)
 
-    return pixels.groupBy("tile", "scene_month").applyInPandas(fn, schema=_PANSHARP_SCHEMA)
+    return pixels.groupBy("tile", "scene_month").applyInPandas(
+        fn, schema=_pansharp_schema(pixels)
+    )
+
+
+def pansharpen_oracle_tail_sql(
+    s: ShorelineSettings | None = None,
+    px_cte: str = "px",
+    max_iters: int = 3000,
+) -> str:
+    """DuckDB mirror of pansharpen_scenes over a relational pixel CTE
+    (`px_cte` must expose tile, scene_month, px_row, px_col, the five
+    bands, n_docs, cloud_frac). Returns a CTE chain ending in
+    `pansharp_out`; embed after `WITH RECURSIVE {obs_ctes},`.
+
+    The mirror exploits two exact identities of the kernel
+    (kernels.pansharpen / kernels.hist_match):
+
+    1. Since Vt is orthonormal and only PC1 is replaced,
+       Xs = pcs @ Vt + mu  ==  X + (matched - pc1) * v1
+       so ONLY the top eigenvector v1 of the band covariance is needed —
+       computed here by a converged power iteration in a recursive CTE
+       (the kernel's SVD and the iteration agree to ~1e-13, far inside
+       the round-4 output tolerance).
+    2. hist_match on equal-length arrays is an exact rank swap: the
+       pixel holding the j-th smallest pan value receives the j-th
+       smallest PC1 value (np.interp lands exactly on the (j+.5)/n
+       quantile nodes), with numpy's stable argsort tie-break = grid
+       scan order (px_row, px_col).
+
+    numpy's sign fix (largest-|component| entry of v1 made positive,
+    first index wins ties, np.sign(0)=0 quirk included) is replicated
+    verbatim so the PC1 rank direction matches.
+    """
+    s = s or ShorelineSettings()
+    k = len(BANDS)
+    mu = [f"mu{i}" for i in range(k)]
+    v = [f"v{i}" for i in range(k)]
+    mus = ", ".join(f"avg({b}) AS mu{i}" for i, b in enumerate(BANDS))
+    covs = ", ".join(
+        f"covar_pop({BANDS[i]}, {BANDS[j]}) AS c{i}{j}"
+        for i in range(k)
+        for j in range(i, k)
+    )
+    cof = lambda i, j: f"c{min(i, j)}{max(i, j)}"  # noqa: E731
+    matvec = ", ".join(
+        " + ".join(f"{cof(i, j)} * u{j}" for j in range(k)) + f" AS w{i}"
+        for i in range(k)
+    )
+    nrm2 = " + ".join(f"w{i} * w{i}" for i in range(k))
+    # the carried vector is renamed u* inside the step: DuckDB lateral
+    # column aliases would otherwise bind v* in the delta expression to
+    # the same-SELECT "w/nrm AS v*" aliases, making delta identically 0
+    delta = ", ".join(f"abs(w{i} / nrm - u{i})" for i in range(k))
+    # base-case literals MUST be cast: DuckDB locks the recursive CTE's
+    # column types to the base case, and a bare `1.0 AS delta` is
+    # DECIMAL(2,1) — every subsequent delta would round to one decimal
+    start = ", ".join(f"{1.0 / k**0.5!r}::DOUBLE AS v{i}" for i in range(k))
+    sgn_cases = []
+    for i in range(k):
+        conds = " AND ".join(
+            f"abs(v{i}) >= abs(v{j})" for j in range(i + 1, k)
+        )
+        branch = f"CASE WHEN v{i} < 0 THEN -1.0 WHEN v{i} > 0 THEN 1.0 ELSE 0.0 END"
+        sgn_cases.append(f"WHEN {conds} THEN {branch}" if conds else f"ELSE {branch}")
+    sgn = "CASE " + " ".join(sgn_cases[:-1]) + " " + sgn_cases[-1] + " END"
+    pc1 = " + ".join(f"({b} - {mu[i]}) * {v[i]}" for i, b in enumerate(BANDS))
+    xform = ", ".join(f"{b} + (m - pc1) * {v[i]} AS {b}" for i, b in enumerate(BANDS))
+    bands_csv = ", ".join(BANDS)
+    min_n = k + 1
+    return f"""
+      okpx AS (
+        SELECT tile, scene_month, px_row, px_col, {bands_csv},
+               (cloud_frac > {s.cloud_mask_frac!r}) AS is_cloud,
+               ({" + ".join(BANDS[:3])}) / 3.0 AS pan
+        FROM {px_cte} WHERE n_docs >= {s.min_docs_per_px}
+      ), goodpx AS (
+        SELECT * FROM okpx WHERE NOT is_cloud
+      ), pstats AS (
+        SELECT tile, scene_month, count(*) AS n_good, {mus}, {covs}
+        FROM goodpx GROUP BY 1, 2
+      ), pit AS (
+        SELECT tile, scene_month, 0 AS it, 1.0::DOUBLE AS delta, {start}
+        FROM pstats WHERE n_good >= {min_n}
+        UNION ALL
+        SELECT tile, scene_month, it + 1,
+               greatest({delta}) AS delta,
+               {", ".join(f"w{i} / nrm AS v{i}" for i in range(k))}
+        FROM (
+          SELECT tile, scene_month, it,
+                 {", ".join(f"u{i}" for i in range(k))},
+                 {", ".join(f"w{i}" for i in range(k))},
+                 sqrt({nrm2}) AS nrm
+          FROM (
+            SELECT p.tile, p.scene_month, p.it,
+                   {", ".join(f"p.v{i} AS u{i}" for i in range(k))},
+                   {matvec}
+            FROM pit p JOIN pstats USING (tile, scene_month)
+            WHERE p.it < {max_iters} AND p.delta > 1e-15
+          )
+        ) WHERE nrm > 0
+      ), veig AS (
+        SELECT tile, scene_month,
+               {", ".join(f"v{i} * sgn AS v{i}" for i in range(k))}
+        FROM (
+          SELECT *, {sgn} AS sgn FROM pit
+          QUALIFY row_number() OVER (
+            PARTITION BY tile, scene_month ORDER BY it DESC) = 1
+        )
+      ), pc AS (
+        SELECT g.tile, g.scene_month, g.px_row, g.px_col, {bands_csv}, pan,
+               {", ".join(v)}, {pc1} AS pc1
+        FROM goodpx g
+        JOIN pstats USING (tile, scene_month)
+        JOIN veig USING (tile, scene_month)
+        WHERE n_good >= {min_n}
+      ), rs AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY tile, scene_month ORDER BY pan, px_row, px_col) AS r
+        FROM pc
+      ), rt AS (
+        SELECT tile, scene_month, pc1 AS m,
+               row_number() OVER (PARTITION BY tile, scene_month ORDER BY pc1) AS r
+        FROM pc
+      ), pansharp_out AS (
+        SELECT rs.tile, rs.scene_month, rs.px_row, rs.px_col, {xform}
+        FROM rs JOIN rt ON rs.tile = rt.tile
+          AND rs.scene_month = rt.scene_month AND rs.r = rt.r
+        UNION ALL
+        -- passthrough: cloud px of live scenes; every ok px of scenes
+        -- with < {min_n} PCA-eligible pixels (kernel's early return)
+        SELECT o.tile, o.scene_month, o.px_row, o.px_col, {bands_csv}
+        FROM okpx o LEFT JOIN pstats t USING (tile, scene_month)
+        WHERE COALESCE(t.n_good, 0) < {min_n}
+           OR (t.n_good >= {min_n} AND o.is_cloud)
+      )"""
 
 
 def extract_shorelines(
