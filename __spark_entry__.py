@@ -10,9 +10,14 @@ xxhash64-dependent dedup trio (minhash_assign / neardup_pairs /
 fingerprints: Spark's XXH64 replayed bit-for-bit in SQL via HUGEINT
 split arithmetic, hashing.xxh64_string_steps), and the class-refined
 shoreline extraction (per-owner-tile buffered marching squares,
-refined_crossings_oracle_sql). The two remaining rows-only queries are
-SVD-dependent (pansharpen) and approximate by construction (ann_approx);
-each has exact NumPy-oracle tests under tests/.
+refined_crossings_oracle_sql), PCA pansharpening (closed-form 2x2/3x3
+eigensolver in SQL), and the approximate-ANN trio (ann_approx:
+sign-LSH hyperplanes replayed from splitmix64 bits, IVF spherical
+k-means and per-subspace PQ codebook training UNROLLED as materialized
+CTE stages, then the same probe/ADC/exact-rerank algebra —
+similarity.ann_approx_oracle_sql). Every registered query is
+oracle-checked; NumPy-parity tests under tests/ cover the kernels
+besides.
 
 Column-name/rounding discipline: every computed column is aliased
 identically in both engines and doubles are rounded (2-6 dp) on BOTH
@@ -1164,6 +1169,9 @@ def oracle_sql() -> dict[str, str]:
         adaptive_tile_counts_sql as _adaptive_tile_counts_sql,
     )
     from coastsat_spark.operators.raster import ShorelineSettings
+    from coastsat_spark.operators.similarity import (
+        ann_approx_oracle_sql as _ann_approx_oracle_sql,
+    )
     from coastsat_spark.operators.tiling import BANDS, bands_sql, tiles_sql
     from coastsat_spark.operators.transects import make_transects_pdf
 
@@ -1462,6 +1470,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "repetition_stats": _repetition_stats_sql("documents"),
+        "ann_approx": _ann_approx_oracle_sql(),
         "ann_bruteforce": """
             WITH n AS (
               SELECT vec_id, embedding,

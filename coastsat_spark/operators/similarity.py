@@ -523,3 +523,242 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", F.round("adist", 6).alias("adist"), "rank")
     )
+
+
+# ----------------------------------------------- DuckDB oracle mirror
+
+def ann_approx_oracle_sql(
+    dim: int = 64,
+    q_max: int = 20,
+    k: int = 5,
+    lsh_bits: int = 6,
+    lsh_tables: int = 12,
+    ivf_centroids: int = 16,
+    ivf_probe: int = 4,
+    ivf_iters: int = 5,
+    pq_m: int = 8,
+    pq_codes: int = 64,
+    pq_iters: int = 10,
+    sample_cap: int = 4096,
+) -> str:
+    """DuckDB mirror of ``q_ann_approx`` (all three approximate-ANN scale
+    paths, one row set with a ``method`` column) — makes the last
+    registry query relationally oracle-able.
+
+    Everything the Spark operators do is deterministic, so the oracle
+    replays it exactly:
+
+    - the hash-ordered training sample (`kmeans_centroids` /
+      `pq_codebooks`): Spark ``xxhash64(vec_id)`` via the
+      `hashing.xxh64_longs_chain_steps` SQL mirror, ordered ascending
+      (signed), capped at `sample_cap`;
+    - sign-LSH hyperplanes (`_hyperplanes`): splitmix64 bits replayed by
+      `hashing.splitmix64_steps` and mapped to [-1, 1) with the same
+      float64 expression — bit-identical weights;
+    - IVF spherical k-means (`kmeans_centroids`): `ivf_iters` Lloyd
+      iterations UNROLLED as CTE stages (assign = argmax dot with
+      first-max tie-break -> ORDER BY dot DESC, cid; update = unit-
+      normalized member mean, empty clusters / zero-norm means keep the
+      previous centroid);
+    - PQ codebooks (`pq_codebooks`): per-subspace Lloyd k-means, same
+      unrolling, argmin of d2 = |s|^2 - 2 s.c + |c|^2 with first-min
+      tie-break, un-normalized means;
+    - encode / probe / ADC / rerank: the same argmin / top-n_probe /
+      LUT-sum / exact-cosine algebra in relational form. Exact float
+      cosine parity uses the proven float32-product idiom from the
+      `ann_bruteforce` oracle (embedding elements multiplied as FLOAT,
+      accumulated as DOUBLE — Spark's zip_with/aggregate semantics);
+      hyperplane/centroid math is DOUBLE end-to-end exactly like the
+      numpy kernels.
+
+    Residual float risk is confined to sums whose accumulation order
+    differs between numpy (pairwise) and DuckDB (sequential) — ~1e-16
+    relative, material only on exact decision-boundary ties, which the
+    random embeddings table cannot produce.
+    """
+    from ..hashing import (
+        splitmix64_steps,
+        staged_sql,
+        u64_to_i64_sql,
+        xxh64_longs_chain_steps,
+    )
+
+    assert dim % pq_m == 0
+    two53 = float(1 << 53)
+
+    # xxhash64(vec_id) for the deterministic training sample
+    hash_inner = staged_sql(
+        "SELECT vec_id, embedding, CAST(vec_id AS UBIGINT) AS vid FROM embeddings",
+        xxh64_longs_chain_steps(["vid"], "hu", "ax"),
+    )
+
+    # splitmix64 hyperplane weights: idx = bit*dim + d0 + (42+tbl)*7919
+    hp_inner = staged_sql(
+        f"""SELECT t.tbl, b.bit, dd.d0,
+                   CAST(b.bit * {dim} + dd.d0 + (42 + t.tbl) * 7919 AS UBIGINT) AS ix
+            FROM (SELECT CAST(range AS INT) AS tbl FROM range(0, {lsh_tables})) t
+            CROSS JOIN (SELECT CAST(range AS INT) AS bit FROM range(0, {lsh_bits})) b
+            CROSS JOIN (SELECT CAST(range AS INT) AS d0 FROM range(0, {dim})) dd""",
+        splitmix64_steps("ix", "hh", "hp"),
+    )
+
+    ctes = [
+        f"hq AS (SELECT vec_id, embedding, {u64_to_i64_sql('hu')} AS h FROM ({hash_inner}))",
+        f"""samp AS (SELECT row_number() OVER (ORDER BY h) - 1 AS sid, embedding
+                     FROM hq ORDER BY h LIMIT {sample_cap})""",
+        f"dims AS (SELECT CAST(range AS INT) AS d FROM range(1, {dim + 1}))",
+        # sample elements, float64, L2-normalized (both trainers normalize)
+        "sel AS (SELECT sid, d, CAST(embedding[d] AS DOUBLE) AS v FROM samp, dims)",
+        "snrm AS (SELECT sid, greatest(sqrt(sum(v * v)), 1e-300) AS nrm FROM sel GROUP BY sid)",
+        "sx AS (SELECT sid, d, v / nrm AS v FROM sel JOIN snrm USING (sid))",
+        # corpus elements raw float64 (IVF assignment / LSH projections)
+        "cel AS (SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS v FROM embeddings, dims)",
+        # float32-product norms for every exact-cosine rerank
+        """nrm AS (SELECT vec_id, embedding,
+                          sqrt((SELECT sum(e * e) FROM (SELECT unnest(embedding) AS e) z)) AS nrm
+                   FROM embeddings)""",
+    ]
+
+    # ---------------- IVF: unrolled spherical k-means -------------------
+    ctes.append(
+        f"cent0 AS (SELECT sid AS cid, d, v FROM sx WHERE sid < {ivf_centroids})"
+    )
+    for i in range(ivf_iters):
+        ctes += [
+            f"""kdot{i} AS (SELECT s.sid, c.cid, sum(s.v * c.v) AS dot
+                            FROM sx s JOIN cent{i} c USING (d) GROUP BY s.sid, c.cid)""",
+            f"""kasg{i} AS (SELECT sid, (list(cid ORDER BY dot DESC, cid))[1] AS cid
+                            FROM kdot{i} GROUP BY sid)""",
+            f"""kmean{i} AS (SELECT a.cid, s.d, avg(s.v) AS mv
+                             FROM sx s JOIN kasg{i} a USING (sid) GROUP BY a.cid, s.d)""",
+            f"""knrm{i} AS (SELECT cid, sqrt(sum(mv * mv)) AS nv FROM kmean{i} GROUP BY cid)""",
+            f"""cent{i + 1} AS (SELECT c.cid, c.d,
+                                       CASE WHEN n.nv > 0 THEN m.mv / n.nv ELSE c.v END AS v
+                                FROM cent{i} c
+                                LEFT JOIN kmean{i} m ON m.cid = c.cid AND m.d = c.d
+                                LEFT JOIN knrm{i} n ON n.cid = c.cid)""",
+        ]
+    centf = f"cent{ivf_iters}"
+    ctes += [
+        f"""cdot AS (SELECT e.vec_id, c.cid, sum(e.v * c.v) AS dot
+                     FROM cel e JOIN {centf} c USING (d) GROUP BY e.vec_id, c.cid)""",
+        """casg AS (SELECT vec_id AS c_id, (list(cid ORDER BY dot DESC, cid))[1] AS cent_id
+                    FROM cdot GROUP BY vec_id)""",
+        f"""probes AS (SELECT vec_id AS q_id, cid AS cent_id
+                       FROM (SELECT vec_id, cid,
+                                    row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY dot DESC, cid) AS pr
+                             FROM cdot WHERE vec_id < {q_max})
+                       WHERE pr <= {ivf_probe})""",
+        """ivf_pairs AS (SELECT p.q_id, a.c_id FROM casg a JOIN probes p USING (cent_id)
+                         WHERE p.q_id <> a.c_id)""",
+    ]
+
+    # ---------------- sign-LSH ------------------------------------------
+    ctes += [
+        f"""hp AS (SELECT tbl, bit, d0 + 1 AS d,
+                          (CAST(hh >> 11 AS DOUBLE) / {two53!r}) * 2.0 - 1.0 AS w
+                   FROM ({hp_inner}))""",
+        """hdot AS (SELECT e.vec_id, h.tbl, h.bit, sum(e.v * h.w) AS dot
+                    FROM cel e JOIN hp h USING (d) GROUP BY e.vec_id, h.tbl, h.bit)""",
+        """buck AS (SELECT vec_id, tbl,
+                           CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << bit
+                                         ELSE 0 END) AS BIGINT) AS bucket
+                    FROM hdot GROUP BY vec_id, tbl)""",
+        f"""lsh_pairs AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+                          FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                          WHERE q.vec_id < {q_max} AND q.vec_id <> c.vec_id)""",
+    ]
+
+    # ---------------- PQ: unrolled per-subspace k-means ------------------
+    dsub = dim // pq_m
+    ctes += [
+        f"sxj AS (SELECT sid, (d - 1) // {dsub} AS j, d, v FROM sx)",
+        "sxs2 AS (SELECT sid, j, sum(v * v) AS s2 FROM sxj GROUP BY sid, j)",
+        f"pqb0 AS (SELECT sid AS cidx, (d - 1) // {dsub} AS j, d, v FROM sx WHERE sid < {pq_codes})",
+    ]
+    for i in range(pq_iters):
+        ctes += [
+            f"pbc2_{i} AS (SELECT cidx, j, sum(v * v) AS c2 FROM pqb{i} GROUP BY cidx, j)",
+            f"""pdot{i} AS (SELECT s.sid, s.j, b.cidx, sum(s.v * b.v) AS dot
+                            FROM sxj s JOIN pqb{i} b ON b.j = s.j AND b.d = s.d
+                            GROUP BY s.sid, s.j, b.cidx)""",
+            f"""pasg{i} AS (SELECT sid, j, (list(cidx ORDER BY d2 ASC, cidx))[1] AS cidx
+                            FROM (SELECT p.sid, p.j, p.cidx, s2.s2 - 2.0 * p.dot + c2.c2 AS d2
+                                  FROM pdot{i} p
+                                  JOIN sxs2 s2 ON s2.sid = p.sid AND s2.j = p.j
+                                  JOIN pbc2_{i} c2 ON c2.cidx = p.cidx AND c2.j = p.j)
+                            GROUP BY sid, j)""",
+            f"""pqb{i + 1} AS (SELECT b.cidx, b.j, b.d, COALESCE(m.mv, b.v) AS v
+                               FROM pqb{i} b
+                               LEFT JOIN (SELECT a.cidx, s.j, s.d, avg(s.v) AS mv
+                                          FROM sxj s JOIN pasg{i} a ON a.sid = s.sid AND a.j = s.j
+                                          GROUP BY a.cidx, s.j, s.d) m
+                                 ON m.cidx = b.cidx AND m.j = b.j AND m.d = b.d)""",
+        ]
+    pqf = f"pqb{pq_iters}"
+    kc = 4 * k
+    ctes += [
+        f"pbc2f AS (SELECT cidx, j, sum(v * v) AS c2 FROM {pqf} GROUP BY cidx, j)",
+        # encode: corpus (and queries, same table) L2-normalized in float64
+        "cnrm AS (SELECT vec_id, greatest(sqrt(sum(v * v)), 1e-300) AS nrm FROM cel GROUP BY vec_id)",
+        f"""cnel AS (SELECT c.vec_id, (c.d - 1) // {dsub} AS j, c.d, c.v / n.nrm AS v
+                     FROM cel c JOIN cnrm n USING (vec_id))""",
+        "cns2 AS (SELECT vec_id, j, sum(v * v) AS s2 FROM cnel GROUP BY vec_id, j)",
+        f"""ed2 AS (SELECT p.vec_id, p.j, p.cidx, s.s2 - 2.0 * p.dot + c.c2 AS d2
+                    FROM (SELECT e.vec_id, e.j, b.cidx, sum(e.v * b.v) AS dot
+                          FROM cnel e JOIN {pqf} b ON b.j = e.j AND b.d = e.d
+                          GROUP BY e.vec_id, e.j, b.cidx) p
+                    JOIN cns2 s ON s.vec_id = p.vec_id AND s.j = p.j
+                    JOIN pbc2f c ON c.cidx = p.cidx AND c.j = p.j)""",
+        """codes AS (SELECT vec_id AS c_id, j, (list(cidx ORDER BY d2 ASC, cidx))[1] AS cidx
+                     FROM ed2 GROUP BY vec_id, j)""",
+        # ADC: adist(q, c) = sum_j lut[q, j, codes[c, j]]; self excluded
+        f"""adist AS (SELECT q.vec_id AS q_id, c.c_id, sum(q.d2) AS adist
+                      FROM codes c JOIN ed2 q ON q.j = c.j AND q.cidx = c.cidx
+                      WHERE q.vec_id < {q_max} AND q.vec_id <> c.c_id
+                      GROUP BY q.vec_id, c.c_id)""",
+        f"""pq_pairs AS (SELECT q_id, c_id
+                         FROM (SELECT q_id, c_id,
+                                      row_number() OVER (PARTITION BY q_id
+                                                         ORDER BY adist ASC, c_id) AS r
+                               FROM adist)
+                         WHERE r <= {kc})""",
+    ]
+
+    # ---------------- shared exact-cosine rerank -------------------------
+    def rerank(pairs: str, name: str) -> str:
+        return f"""{name} AS (
+            SELECT q_id, c_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, c_id) AS rank
+            FROM (SELECT p.q_id, p.c_id,
+                         (SELECT sum(eq * ec)
+                          FROM (SELECT unnest(q.embedding) AS eq,
+                                       unnest(c.embedding) AS ec) z)
+                           / (q.nrm * c.nrm) AS cosine
+                  FROM {pairs} p
+                  JOIN nrm q ON q.vec_id = p.q_id
+                  JOIN nrm c ON c.vec_id = p.c_id))"""
+
+    ctes += [
+        rerank("lsh_pairs", "lsh_top"),
+        rerank("ivf_pairs", "ivf_top"),
+        rerank("pq_pairs", "pq_top"),
+    ]
+
+    final = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS method, q_id, rank, c_id, round(cosine, 4) AS cosine
+            FROM {cte} WHERE rank <= {k}"""
+        for name, cte in (("lsh", "lsh_top"), ("ivf", "ivf_top"), ("pq", "pq_top"))
+    )
+    # Every stage is MATERIALIZED: the unrolled iteration chain references
+    # each cent{i}/pqb{i} several times, and DuckDB's default CTE inlining
+    # would otherwise expand the plan ~3^iters-fold (observed: minutes
+    # instead of seconds at 500 vectors).
+    import re as _re
+
+    ctes = [
+        _re.sub(r"^(\s*\w+ AS )\(", r"\1MATERIALIZED (", c, count=1) for c in ctes
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + final

@@ -181,3 +181,41 @@ def test_pq_adc_recall_and_exactness(spark, clustered):
     plan = similarity.pq_topk(q, codes, books, k=10)._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"\bWindow \[", plan)) == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_approx_oracle_parity(spark):
+    """The DuckDB mirror of q_ann_approx (sign-LSH + unrolled IVF
+    k-means + unrolled PQ codebooks + ADC + exact rerank) reproduces the
+    Spark rows exactly at the smoke sf — the same compare the driver
+    correctness gate runs at sf0.01."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    sfd = "/root/testdata/sf0.001"
+    got = (
+        E.queries()["ann_approx"](spark, sfd)
+        .toPandas()
+        .sort_values(["method", "q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sfd}/embeddings.parquet')"
+    )
+    exp = (
+        con.execute(E.oracle_sql()["ann_approx"])
+        .df()
+        .sort_values(["method", "q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == 300
+    pd.testing.assert_frame_equal(
+        got[["method", "q_id", "rank", "c_id"]],
+        exp[["method", "q_id", "rank", "c_id"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(got["cosine"], exp["cosine"], atol=1e-9)
