@@ -10,8 +10,8 @@ xxhash64-dependent dedup trio (minhash_assign / neardup_pairs /
 fingerprints: Spark's XXH64 replayed bit-for-bit in SQL via HUGEINT
 split arithmetic, hashing.xxh64_string_steps), and the class-refined
 shoreline extraction (per-owner-tile buffered marching squares,
-refined_crossings_oracle_sql), PCA pansharpening (closed-form 2x2/3x3
-eigensolver in SQL), and the approximate-ANN trio (ann_approx:
+refined_crossings_oracle_sql), PCA pansharpening (top eigenvector via a
+power-iteration recursive CTE), and the approximate-ANN trio (ann_approx:
 sign-LSH hyperplanes replayed from splitmix64 bits, IVF spherical
 k-means and per-subspace PQ codebook training UNROLLED as materialized
 CTE stages, then the same probe/ADC/exact-rerank algebra —
@@ -813,17 +813,27 @@ def q_despike_tide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kernel, then the forward as-of tide join + horizontal correction
     # (example.py:324-330). The flagship-chained variant of this pair
     # stays exercised in tests/test_timeseries.py.
-    from coastsat_spark.datagen import TS_START_S
+    from coastsat_spark.datagen import TS_SPAN_S, TS_START_S
     from coastsat_spark.operators.timeseries import despike_timeseries
     from coastsat_spark.plans import pipeline
 
     d = spark.read.parquet(_t(sf_dir, "documents"))
+    # step scales with the table so the longest per-transect series stays
+    # INSIDE the 4-year tide span (beyond it the forward as-of join finds
+    # no tide row and yields NULL, which the oracle's closed-form tide
+    # cannot mirror — observed at sf0.1 before this guard), and stays a
+    # multiple of the 900 s tide grid so the as-of match is exact. The
+    # oracle derives the identical step from count(documents). Floor of
+    # 900 s: above ~5.6M docs the series would wrap past the span again.
+    n_docs = d.count()
+    rows_per = -(-n_docs // 40)
+    step_s = max(((TS_SPAN_S // (rows_per + 1)) // 900) * 900, 900)
     w = W.partitionBy(F.col("doc_id") % 40).orderBy("doc_id")
     ts = d.select(
         F.concat(F.lit("T"), (F.col("doc_id") % 40).cast("string")).alias("transect"),
         F.timestamp_seconds(
             F.lit(TS_START_S)
-            + (F.row_number().over(w) - 1).cast("long") * F.lit(2592000)
+            + (F.row_number().over(w) - 1).cast("long") * F.lit(step_s)
         ).alias("scene_month"),
         (
             ((F.col("doc_id") * 37) % 13).cast("double") / F.lit(10.0)
@@ -962,7 +972,10 @@ def q_shoreline_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cloud-proximity anti-join and ownership rule.
     from coastsat_spark.operators import raster
 
-    px = _doc_pixels(spark, sf_dir)
+    # persist: extract_shorelines' halo ghost branch scans the pixel
+    # aggregate a second time (see its docstring) — same pattern as
+    # q_shoreline_refined and bench.py
+    px = _doc_pixels(spark, sf_dir).persist()
     s = raster.ShorelineSettings(grid_log2=_OR_GRID_LOG2, min_contour_len_px=0.0)
     pts = raster.extract_shorelines(px, s)
     return pts.select(
@@ -1159,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
     from coastsat_spark.functions.text import repetition_stats_sql as _repetition_stats_sql
     import math as _math
 
+    from coastsat_spark.datagen import TS_SPAN_S as _TS_SPAN_S
     from coastsat_spark.datagen import tide_value_sql as _tide_value_sql
     from coastsat_spark.operators.slope import (
         slope_oracle_tail_sql as _slope_oracle_tail_sql,
@@ -1689,21 +1703,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # W3 sequential despike fixpoint as a recursive CTE (one level per
         # pop, early-exit quirk replicated; see timeseries.despike_sql) +
-        # forward as-of tide join + horizontal correction. The 30-day
-        # series timestamps land exactly on the 900 s tide grid and
-        # inside its span, so the forward match is the scene timestamp
-        # itself and the joined tide is tide_value_sql(t) directly.
+        # forward as-of tide join + horizontal correction. The step is
+        # derived from count(documents) exactly like the Spark side, so
+        # series timestamps land on the 900 s tide grid and inside its
+        # 4-year span at EVERY sf — the forward match is then the scene
+        # timestamp itself and the joined tide is tide_value_sql(t).
         "despike_tide": f"""
-            WITH RECURSIVE src AS (
+            WITH RECURSIVE stp AS (
+              SELECT greatest((({_TS_SPAN_S} // (CAST(ceil(count(*) / 40.0) AS BIGINT) + 1))
+                              // 900) * 900, 900) AS s
+              FROM documents
+            ),
+            src AS (
               SELECT 'T' || CAST(doc_id % 40 AS VARCHAR) AS transect,
                      TIMESTAMP '2020-01-01 00:00:00'
                        + (CAST(row_number() OVER (PARTITION BY doc_id % 40
                                                   ORDER BY doc_id) AS BIGINT) - 1)
-                         * INTERVAL 2592000 SECOND AS t,
+                         * stp.s * INTERVAL 1 SECOND AS t,
                      (CAST((doc_id * 37) % 13 AS DOUBLE) / 10.0
                       + CASE WHEN (doc_id * 7) % 23 = 0
                              THEN 15.0 ELSE 0.0 END) AS chainage
-              FROM documents
+              FROM documents, stp
             ),
             {_despike_sql('src', 5.0)}
             SELECT transect, t AS scene_month,

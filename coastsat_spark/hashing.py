@@ -35,7 +35,7 @@ def hash_stream(index: np.ndarray, stream: int, seed: int = 42) -> np.ndarray:
     """
     idx = np.asarray(index, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        mixed = idx * np.uint64(0x2545F4914F6CDD1D) + np.uint64(stream) * _GOLDEN + np.uint64(seed)
+        mixed = idx * np.uint64(SM_MUL) + np.uint64(stream) * _GOLDEN + np.uint64(seed)
     return splitmix64(mixed)
 
 
@@ -79,6 +79,10 @@ XXH_P5 = 0x27D4EB2F165667C5
 SM_GOLDEN = 0x9E3779B97F4A7C15
 SM_M1 = 0xBF58476D1CE4E5B9
 SM_M2 = 0x94D049BB133111EB
+# hash_stream's per-index multiplier (line ~38); exported so the SQL
+# mirrors that hand-replicate hash_stream (multimodal payload generator,
+# refined-crossings class stream) can't silently desynchronize from it
+SM_MUL = 0x2545F4914F6CDD1D
 
 
 def mulmod64_sql(expr: str, c: int) -> str:
@@ -160,15 +164,23 @@ def xxh64_string_steps(tok_col: str, out: str, tag: str, seed: int = 42):
     regime, fully unrolled: up to three 8-byte rounds, one optional
     4-byte round, up to three 1-byte rounds, avalanche. Longer or
     non-ASCII input yields NULL (visible oracle failure, never a wrong
-    hash): the callers tokenize with '[a-z]+|[0-9]+' so bytes==chars and
-    codepoints < 128 by construction."""
+    hash): the guard requires strlen == length (bytes == chars, i.e.
+    pure ASCII — ascii()/substr() index by CHARACTER, so a multibyte
+    string would otherwise hash code points instead of UTF-8 bytes and
+    return a silently wrong value). The callers tokenize with
+    '[a-z]+|[0-9]+' so the guard never fires in practice."""
     t = tag
     le_word = lambda off, nb: " + ".join(
         f"CAST(ascii(substr({tok_col}, {off + j + 1}, 1)) AS UBIGINT) * {1 << (8 * j)}"
         for j in range(nb)
     )
     steps = [
-        (f"{t}ln", f"CASE WHEN length({tok_col}) <= 31 THEN length({tok_col}) END"),
+        (
+            f"{t}ln",
+            f"CASE WHEN length({tok_col}) <= 31"
+            f" AND strlen({tok_col}) = length({tok_col})"
+            f" THEN length({tok_col}) END",
+        ),
         (f"{t}h0", addmod64_sql(f"{t}ln", (seed + XXH_P5) % U64)),
     ]
     h = f"{t}h0"

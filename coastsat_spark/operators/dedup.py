@@ -622,9 +622,13 @@ def tokhash_cte_sql(
 ) -> str:
     """CTE text (no leading WITH) ending in ``tokh(doc_id, pos, th)``:
     per-token Spark-xxhash64 values (UBIGINT) in document order, exactly
-    `token_hashes_col` — same '[a-z]+|[0-9]+' runs over lower(text), so
-    tokens are ASCII and <32 bytes by construction (the string-hash mirror
-    emits NULL, a loud oracle failure, if either assumption ever breaks)."""
+    `token_hashes_col` — same '[a-z]+|[0-9]+' runs over lower(text). The
+    string-hash mirror only covers ASCII tokens <32 bytes (the < one-
+    stripe regime); a token outside that envelope hashes to NULL, which
+    this CTE converts to a HARD error() so the oracle run fails loudly
+    instead of silently dropping shingles downstream (sh3's
+    t2-IS-NOT-NULL filter would otherwise swallow them and the value
+    hash would diverge confusingly — or worse, coincidentally pass)."""
     from ..hashing import staged_sql, u64_to_i64_sql, xxh64_string_steps  # noqa: F401
 
     toks = f"""
@@ -636,7 +640,12 @@ def tokhash_cte_sql(
             FROM {table} WHERE {text_col} IS NOT NULL)
     """
     hashed = staged_sql(toks, xxh64_string_steps("tok", "th", "x_"))
-    return f"tokh AS (SELECT doc_id, pos, th FROM ({hashed}))"
+    return (
+        "tokh AS (SELECT doc_id, pos, CASE WHEN th IS NULL THEN"
+        " error('tokhash mirror: token >31 bytes or non-ASCII — SQL"
+        " xxhash64 mirror cannot replay it') ELSE th END AS th"
+        f" FROM ({hashed}))"
+    )
 
 
 def _minhash_sig_cte_sql(k: int, shingle_words: int, seed: int) -> str:

@@ -318,10 +318,9 @@ def audio_frame_samples(media: DataFrame, frame_ms: int = 25) -> DataFrame:
 from ..hashing import SM_GOLDEN as _SM_GOLDEN  # noqa: E402
 from ..hashing import SM_M1 as _SM_M1  # noqa: E402
 from ..hashing import SM_M2 as _SM_M2  # noqa: E402
+from ..hashing import SM_MUL as _SM_MUL  # noqa: E402
 from ..hashing import U64 as _U64  # noqa: E402
 from ..hashing import mulmod64_sql as _mulmod64_sql  # noqa: E402
-
-_SM_MUL = 0x2545F4914F6CDD1D
 
 
 def splitmix_hash_sql(

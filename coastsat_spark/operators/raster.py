@@ -1040,6 +1040,7 @@ def refined_crossings_oracle_sql(
     """
     from ..hashing import (
         SM_GOLDEN,
+        SM_MUL,
         U64,
         addmod64_sql,
         mulmod64_sql,
@@ -1054,7 +1055,6 @@ def refined_crossings_oracle_sql(
     XB_MASK = (1 << cells.X_BITS) - 1
     W = (1 << tile_res) * g
     total_px = g * g
-    SM_MUL = 0x2545F4914F6CDD1D
     r2 = s.max_dist_ref * s.max_dist_ref
 
     def wrapx(d: str) -> str:

@@ -305,7 +305,13 @@ def slope_oracle_tail_sql(settings: "SlopeSettings | None" = None) -> str:
              1.0 / ({float(s.n0)!r} * (max(t) - min(t))) AS df
       FROM src GROUP BY transect),
     grid AS (
-      SELECT transect, fmin, df, CAST(ceil((fmax - fmin) / df) AS BIGINT) AS n_f
+      -- the series below is bounded at 100000 rows: fail loudly instead
+      -- of silently truncating the frequency grid if a config/span ever
+      -- pushes n_f past it (numpy uses the full grid either way)
+      SELECT transect, fmin, df,
+             CASE WHEN ceil((fmax - fmin) / df) > 100000
+                  THEN error('slope oracle: frequency grid > 100000 rows — widen generate_series')
+                  ELSE CAST(ceil((fmax - fmin) / df) AS BIGINT) END AS n_f
       FROM gridp),
     freqs AS (
       SELECT g.transect, f.j, g.fmin + g.df * CAST(f.j AS DOUBLE) AS freq

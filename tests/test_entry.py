@@ -36,3 +36,14 @@ def test_sampled_queries_run_at_smoke_sf(spark):
     for name in ("pricing_summary", "cell_assign", "asof_join", "exact_dedup"):
         df = E.queries()[name](spark, sf_dir)
         assert df.count() >= 0
+
+
+def test_despike_tide_timestamps_stay_inside_tide_span(spark):
+    """The synthesized per-transect series must stay inside the 4-year
+    tide table span at EVERY sf — beyond it the forward as-of join finds
+    no tide row and yields NULL, which the closed-form oracle cannot
+    mirror (observed at sf0.1 before the count-derived step). sf0.1 has
+    5000 documents = 125 rows/transect, the size that used to overflow."""
+    df = E.queries()["despike_tide"](spark, "/root/testdata/sf0.1")
+    n_null = df.filter("tide IS NULL").count()
+    assert n_null == 0

@@ -64,6 +64,12 @@ def main() -> None:
     base = runs[0]
     for r in runs[1:]:
         assert r["N"] == base["N"] and r["4N"] == base["4N"] and r["sf"] == base["sf"]
+        # minhash runs at its own input size (SPARK_GRAFT_SF_MH): minima
+        # across DIFFERENT minhash input sizes would fabricate an
+        # efficiency no single configuration exhibited
+        assert r.get("sf_minhash", 1.0) == base.get("sf_minhash", 1.0), (
+            f"sf_minhash mismatch: {r.get('sf_minhash')} vs {base.get('sf_minhash')}"
+        )
         for leg in ("times_N", "times_4N"):
             for q, v in r[leg].items():
                 base[leg][q] = min(base[leg].get(q, v), v)

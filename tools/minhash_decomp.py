@@ -42,10 +42,6 @@ from coastsat_spark.session import get_spark
 from tools.noise_probe import triad_gbps
 
 
-def triad_once(n: int = 8_000_000) -> float:
-    return triad_gbps(n)
-
-
 class AmbientSampler(threading.Thread):
     def __init__(self, interval: float = 3.0):
         super().__init__(daemon=True)
@@ -55,7 +51,9 @@ class AmbientSampler(threading.Thread):
 
     def run(self):
         while True:
-            self.samples.append(round(triad_once(), 3))
+            # 8M doubles (64 MB/array — DRAM-resident like the canonical
+            # 20M probe, same GB/s scale) keep the sampler duty cycle low
+            self.samples.append(round(triad_gbps(8_000_000), 3))
             if self._stop.wait(self.interval):
                 return
 
