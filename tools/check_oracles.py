@@ -15,7 +15,12 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+# the driver gate runs at sf0.01; override to sweep OTHER scales for
+# latent sf-dependence in the mirrors (the despike_tide tide-span bug
+# was exactly this class: green at sf0.01, divergent at sf0.1)
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
