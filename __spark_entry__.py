@@ -369,11 +369,20 @@ def q_validation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("value").alias("chainage"))
     )
     out = validation_join(sat.drop("event_id"), survey, min_days=3, max_days=10)
+    # floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): the interpolated
+    # value lands EXACTLY on .xxxx5 ties (2-decimal inputs x day-ratio
+    # weights like 3/8), where Spark's round (BigDecimal HALF_UP on the
+    # shortest decimal repr) and DuckDB's (binary multiply) disagree by
+    # 1e-4; the floor form is the same IEEE mul/add/floor in both
+    # engines, so ties break bit-identically (caught by the sf0.1 sweep)
+    def r4(c):
+        return F.floor(F.col(c) * 10000 + F.lit(0.5)) / 10000
+
     return out.select(
         "transect",
         "scene_month",
-        F.round("chainage", 4).alias("sat_value"),
-        F.round("survey_chainage", 4).alias("survey_value"),
+        r4("chainage").alias("sat_value"),
+        r4("survey_chainage").alias("survey_value"),
     )
 
 
@@ -1753,8 +1762,12 @@ def oracle_sql() -> dict[str, str]:
                                  WHERE transect = s.transect AND ts >= s.scene_month
                                  ORDER BY ts LIMIT 1) a ON true
             )
-            SELECT transect, scene_month, round(chainage, 4) AS sat_value,
-                   round(CASE
+            -- floor(x*1e4 + 0.5)/1e4 mirrors the Spark side's tie-stable
+            -- rounding (see q_validation_join: round() tie-breaking
+            -- diverges between engines on exact .xxxx5 interpolants)
+            SELECT transect, scene_month,
+                   floor(chainage * 10000 + 0.5) / 10000 AS sat_value,
+                   floor((CASE
                      WHEN least(coalesce(date_diff('day', b_ts::DATE, scene_month::DATE), 1000000000),
                                 coalesce(date_diff('day', scene_month::DATE, a_ts::DATE), 1000000000)) > 10
                        THEN NULL
@@ -1767,7 +1780,7 @@ def oracle_sql() -> dict[str, str]:
                        THEN b_val + (a_val - b_val)
                             * (epoch(scene_month::DATE::TIMESTAMP) - epoch(b_ts::DATE::TIMESTAMP))
                             / (epoch(a_ts::DATE::TIMESTAMP) - epoch(b_ts::DATE::TIMESTAMP))
-                     ELSE NULL END, 4) AS survey_value
+                     ELSE NULL END) * 10000 + 0.5) / 10000 AS survey_value
             FROM j
         """,
         "containment_dedup": f"""

@@ -13,7 +13,13 @@ Each query is timed $SPARK_GRAFT_BENCH_TRIALS times (default 2) and the
 MIN is reported: a co-tenant on this shared host saturates the DRAM bus
 in multi-minute bursts (BENCH/BASELINE.md "shared-host honesty"), and
 min-of-trials plus the embedded ambient-bandwidth samples keep the
-artifact interpretable when a burst lands mid-run.
+artifact interpretable when a burst lands mid-run. When a query's
+trials disagree by >30% or the per-query ambient probe (full 192 MB
+triad — a smaller one reads L3, not DRAM) says <1 GB/s (deep burst),
+up to $SPARK_GRAFT_BENCH_MAX_TRIALS (default 4) trials
+run, bounded by $SPARK_GRAFT_BENCH_BUDGET_S (default 900 s) total —
+min is unbiased under noise that only ever adds wall-clock, so extra
+trials are extra chances to sample the unloaded time, never a fudge.
 
 Run tools/scaling_study.py for the N-vs-4N parallelism measurement
 recorded in BENCH/BASELINE.md.
@@ -130,16 +136,33 @@ def main() -> None:
         return round(triad_gbps(n), 3)
 
     trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
+    # Burst-adaptive retries: the co-tenant's DRAM-bus bursts last minutes
+    # (BENCH/BASELINE.md), so BOTH baseline trials can land inside one and
+    # min-of-2 still reports a 5-50x inflated number. When the trials of a
+    # query disagree by >30% (a burst edge crossed mid-query) or the
+    # cheap ambient probe taken before the query read <1 GB/s (probe is
+    # ~48 MB, ~0.1 s quiet), re-run up to max_trials, bounded by a total
+    # wall budget so the driver's bench never runs away. The aggregate
+    # stays MIN (bursts only ever ADD wall-clock) and the artifact
+    # records trials actually used + the per-query ambient sample.
+    max_trials = max(trials, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_TRIALS", "4")))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    bench_t0 = time.perf_counter()
     noise_before = _triad_gbps()
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
+    trials_used: dict[str, int] = {}
+    ambient_q: dict[str, float] = {}
     for name, fn in bench_queries.items():
-        best = None
-        for _ in range(trials):
+        # full 8M-element probe (192 MB streams): a 48 MB probe sits
+        # partly in L3 on this box and reads cache bandwidth, not DRAM
+        amb = _triad_gbps()
+        ambient_q[name] = amb
+        samples: list[float] = []
+        while True:
             t0 = time.perf_counter()
             rows[name] = int(fn() or 0)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append(time.perf_counter() - t0)
             # drop caches each query leaves behind so later queries measure
             # the engine, not accumulated session state; the explicit driver
             # GC lets ContextCleaner reap shuffle files + any unreferenced
@@ -147,7 +170,17 @@ def main() -> None:
             # (accumulated blocks pin storage memory and skew later queries)
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
-        times[name] = round(best, 3)
+            if len(samples) < trials:
+                continue
+            if len(samples) >= max_trials:
+                break
+            if time.perf_counter() - bench_t0 > budget_s:
+                break
+            noisy = amb < 1.0 or (max(samples) / min(samples) > 1.3)
+            if not noisy:
+                break
+        times[name] = round(min(samples), 3)
+        trials_used[name] = len(samples)
     noise_after = _triad_gbps()
 
     total = round(sum(times.values()), 3)
@@ -162,9 +195,13 @@ def main() -> None:
         "docs_per_sec": round(n_docs / flagship, 1) if flagship else None,
         "cpus": cpus,
         "rows": rows,
-        "trials_per_query": trials,
+        "trials_per_query": trials_used,
         "agg": "min",
-        "ambient_dram_gbps": {"before": noise_before, "after": noise_after},
+        "ambient_dram_gbps": {
+            "before": noise_before,
+            "after": noise_after,
+            "per_query": ambient_q,
+        },
     }
     spark.stop()
     print(json.dumps(out))
