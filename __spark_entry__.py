@@ -43,6 +43,24 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footer metadata only — a constant-cost
+    driver-side read (no Spark job, no data scan), the same metadata
+    DuckDB's count(*) answers from; at 100 TB this is what an
+    Iceberg/parquet catalog count is."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _epoch(col):
     # NTZ-safe epoch seconds (driver tables use TIMESTAMP_NTZ)
     return col.cast("timestamp").cast("double")
@@ -207,11 +225,13 @@ def q_argmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events table (30-min gap), BOTH
     engines in one driver row: the batch operator (one user-keyed shuffle
-    + lag/running-sum windows, gap strictly > g) unioned with the
-    streaming operator's batch evaluation (native session_window,
-    half-open: gap >= g starts a session). Each engine's exact boundary
-    semantics is mirrored separately in the DuckDB oracle, so the
-    streaming operator gets a value-hash-checked driver row too."""
+    + lag/running-sum windows) unioned with the streaming operator's
+    batch evaluation (native session_window). Both break a session only
+    when the gap STRICTLY exceeds g — session_window merges adjacent
+    windows, measured and pinned by the planted exact-boundary test in
+    tests/test_streaming.py — and each engine is mirrored separately in
+    the DuckDB oracle, so the streaming operator gets a
+    value-hash-checked driver row too."""
     from coastsat_spark.operators.timeseries import sessionize
     from coastsat_spark.streaming.ingest import streaming_sessions
 
@@ -732,8 +752,12 @@ def q_shoreline_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = _doc_pixels(spark, sf_dir).persist()
     s0 = raster.ShorelineSettings(grid_log2=_OR_GRID_LOG2, min_contour_len_px=0.0)
     base = raster.extract_shorelines(px, s0)
-    # rasterize the prior shoreline onto the tile grids (small: one
-    # polyline set per world tile) — the reference_shoreline input
+    # rasterize the prior shoreline onto the tile grids — the
+    # reference_shoreline input, a BOUNDED dimension (one polyline set
+    # per world tile, like the reference's single reference_shoreline,
+    # SDS_shoreline.py:525). Collected once on the driver and shipped
+    # via sparkContext.broadcast inside extract_shorelines (executors
+    # receive it once, not per task).
     ref = (
         base.select(
             "tile",
@@ -832,10 +856,23 @@ def q_despike_tide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no tide row and yields NULL, which the oracle's closed-form tide
     # cannot mirror — observed at sf0.1 before this guard), and stays a
     # multiple of the 900 s tide grid so the as-of match is exact. The
-    # oracle derives the identical step from count(documents). Floor of
-    # 900 s: above ~5.6M docs the series would wrap past the span again.
-    n_docs = d.count()
+    # row count comes from parquet FOOTER metadata (no Spark action in
+    # the query body); the oracle derives the identical value from
+    # count(documents), which DuckDB also answers from metadata.
+    n_docs = _parquet_rows(_t(sf_dir, "documents"))
     rows_per = -(-n_docs // 40)
+    if rows_per + 1 > TS_SPAN_S // 900:
+        # beyond ~5.6M docs the 900 s step floor would wrap the series
+        # past the tide span and the as-of join yields NULL tide, which
+        # the oracle's closed-form tide cannot mirror — fail loudly on
+        # BOTH sides (the oracle raises via error()) instead of as a
+        # confusing hash mismatch
+        raise ValueError(
+            f"despike_tide: {n_docs} documents -> {rows_per + 1} rows per "
+            f"transect exceeds the {TS_SPAN_S} s tide span at the 900 s "
+            "step floor; the synthetic-series envelope tops out at "
+            f"{(TS_SPAN_S // 900 - 1) * 40} documents"
+        )
     step_s = max(((TS_SPAN_S // (rows_per + 1)) // 900) * 900, 900)
     w = W.partitionBy(F.col("doc_id") % 40).orderBy("doc_id")
     ts = d.select(
@@ -1586,8 +1623,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY o_orderstatus, o_orderpriority) WHERE rn = 1
         """,
         "sessionize": f"""
+            -- both engines break only on gap STRICTLY > g:
+            -- session_window merges adjacent windows (pinned by the
+            -- planted exact-boundary test in tests/test_streaming.py)
             WITH b AS ({_sessionize_sql("events", gap_seconds=1800.0)}),
-            sw AS ({_sessionize_sql("events", gap_seconds=1800.0, boundary=">=")})
+            sw AS ({_sessionize_sql("events", gap_seconds=1800.0, boundary=">")})
             SELECT 'batch' AS engine, user_id, start_ts AS session_start,
                    n_events, total_value
             FROM b
@@ -1719,8 +1759,15 @@ def oracle_sql() -> dict[str, str]:
         # timestamp itself and the joined tide is tide_value_sql(t).
         "despike_tide": f"""
             WITH RECURSIVE stp AS (
-              SELECT greatest((({_TS_SPAN_S} // (CAST(ceil(count(*) / 40.0) AS BIGINT) + 1))
-                              // 900) * 900, 900) AS s
+              -- envelope guard mirrors the Spark side's ValueError: above
+              -- ~5.6M docs the 900 s step floor wraps past the tide span
+              SELECT CASE
+                WHEN CAST(ceil(count(*) / 40.0) AS BIGINT) + 1 > {_TS_SPAN_S} // 900
+                THEN CAST(error('despike_tide: document count exceeds the '
+                                'synthetic-series tide-span envelope') AS BIGINT)
+                ELSE greatest((({_TS_SPAN_S} // (CAST(ceil(count(*) / 40.0) AS BIGINT) + 1))
+                              // 900) * 900, 900)
+              END AS s
               FROM documents
             ),
             src AS (

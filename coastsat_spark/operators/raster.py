@@ -136,21 +136,21 @@ def with_halo(
     (g+2)^2 grid, contours the extension, and emits only core-owned
     points, so every world point is emitted by exactly one tile.
 
-    Pure JVM plan: border filter (narrow) -> broadcast 8-row offset cross
-    join -> frame/bounds filter -> union. The ghosts ride the existing
-    groupBy(tile, scene) shuffle — no extra exchange; the added bytes are
-    <= 8 copies of the ~4g/g^2 border fraction of shuffle-2, which is
-    already the small side of the pipeline.
+    Pure JVM, SINGLE-SCAN plan: every row carries a literal 9-offset
+    array (identity + 8 neighbors); a higher-order `filter` keeps the
+    identity always and a neighbor offset only when the pixel lands on
+    that neighbor's ghost ring, then one `explode` emits the surviving
+    copies. Non-border pixels emit exactly themselves, border pixels
+    also emit 1-3 ghost copies. No union and no second branch over the
+    input, so an expensive upstream (doc scan + pixel aggregate) is
+    consumed exactly ONCE whether or not the caller persisted it —
+    callers need no `.persist()` contract (asserted by the single-scan
+    plan test in tests/test_plans.py). The ghosts ride the existing
+    groupBy(tile, scene) shuffle — no extra exchange; the added bytes
+    are <= 8 copies of the ~4g/g^2 border fraction of shuffle-2, which
+    is already the small side of the pipeline.
     """
     g = 1 << grid_log2
-    spark = pixels.sparkSession
-    off = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if dx or dy],
-        "dx int, dy int",
-    )
-    border = pixels.filter(
-        F.col("px_row").isin(0, g - 1) | F.col("px_col").isin(0, g - 1)
-    )
     # bitwise decode (float division would lose precision at 2^60-scale
     # ids); tile res is read from the id itself so the operator works at
     # any tiling resolution
@@ -160,27 +160,46 @@ def with_halo(
     n = F.expr(f"shiftleft(1L, cast(shiftright(tile, {cells.R_BITS}) as int))")
     x = F.shiftright(F.col("tile"), cells.X_BITS) % F.lit(1 << cells.X_BITS)
     y = F.col("tile") % F.lit(1 << cells.X_BITS)
-    gh = (
-        border.crossJoin(F.broadcast(off))
-        .withColumn("_frow", F.col("px_row") - F.col("dy") * F.lit(g))
-        .withColumn("_fcol", F.col("px_col") - F.col("dx") * F.lit(g))
-        .filter(
-            F.col("_frow").between(-1, g) & F.col("_fcol").between(-1, g)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+
+    def _emits(o):
+        # identity (dx=dy=0) passes UNCONDITIONALLY — original rows are
+        # never touched (tile ids outside the cell encoding, e.g. ad-hoc
+        # test tiles, survive byte-identical, like the old union's core
+        # branch); ghost copies additionally require landing on the
+        # neighbor's [-1, g] ring and a valid (clamped) tile row
+        frow = F.col("px_row") - o.dy * F.lit(g)
+        fcol = F.col("px_col") - o.dx * F.lit(g)
+        ny = y + o.dy
+        return ((o.dx == 0) & (o.dy == 0)) | (
+            frow.between(-1, g)
+            & fcol.between(-1, g)
+            & (ny >= 0)
+            & (ny < n)  # lat clamps; lon wraps via pmod below
         )
-        .withColumn("_ny", y + F.col("dy"))
-        .filter((F.col("_ny") >= 0) & (F.col("_ny") < n))  # lat clamps
-        .withColumn("_nx", F.pmod(x + F.col("dx"), n))  # lon wraps
+
+    ident = (F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)
+    out_cols = pixels.columns
+    return (
+        pixels.withColumn("_o", F.explode(F.filter(offsets, _emits)))
+        .withColumn("px_row", F.col("px_row") - F.col("_o.dy") * F.lit(g))
+        .withColumn("px_col", F.col("px_col") - F.col("_o.dx") * F.lit(g))
         .withColumn(
             "tile",
-            res * F.lit(1 << cells.R_BITS)
-            + F.col("_nx") * F.lit(1 << cells.X_BITS)
-            + F.col("_ny"),
+            F.when(ident, F.col("tile")).otherwise(
+                res * F.lit(1 << cells.R_BITS)
+                + F.pmod(x + F.col("_o.dx"), n) * F.lit(1 << cells.X_BITS)
+                + (y + F.col("_o.dy"))
+            ),
         )
-        .withColumn("px_row", F.col("_frow"))
-        .withColumn("px_col", F.col("_fcol"))
-        .drop("dx", "dy", "_frow", "_fcol", "_nx", "_ny")
+        .select(*out_cols)
     )
-    return pixels.unionByName(gh.select(*pixels.columns))
 
 
 def _shoreline_schema(pixels: DataFrame) -> str:
@@ -602,21 +621,22 @@ def extract_shorelines(
 ) -> DataFrame:
     """Shuffle 2: scene-grouped contour extraction (<=(G+2)^2 rows per group).
 
-    `halo=True` (default) unions 1-px ghost rows from the 8 neighbor
-    tiles (`with_halo`) before the scene group, so contours stitch across
-    tile borders and border fragments keep their full visible length.
-    NOTE: the halo union reads `pixels` twice (core + ghost branches) and
-    Catalyst pushes the ghost branch's border filter below the aggregate,
-    defeating exchange reuse — persist the pixel aggregate before calling
-    (run_flagship and bench.py do) or accept a second upstream pass.
+    `halo=True` (default) emits 1-px ghost rows into the 8 neighbor
+    tiles (`with_halo`, single-scan explode) before the scene group, so
+    contours stitch across tile borders and border fragments keep their
+    full visible length. The halo consumes `pixels` exactly once —
+    callers do NOT need to persist the pixel aggregate for this call
+    (persisting is still right when OTHER consumers share it, e.g.
+    run_flagship's quality gate + metrics).
 
     `quality` (from scene_quality) pre-filters scenes relationally; pass
     None to gate inside the kernel only. `reference` is a small pandas
     frame (tile, px_row, px_col) of the prior/reference shoreline
     rasterized per tile — a bounded dimension (one polyline per world
     tile, like the reference's single reference_shoreline input,
-    SDS_shoreline.py:525), captured in the UDF closure so Spark ships it
-    once per task like a broadcast variable.
+    SDS_shoreline.py:525), shipped as an explicit
+    `sparkContext.broadcast` so each executor receives it once (closure
+    capture would re-serialize it into every task).
 
     Execution shape: the naive `groupBy(k).applyInPandas` pays one Arrow
     record batch + one Python call per (tile, scene) group (~5 ms/group
@@ -636,15 +656,20 @@ def extract_shorelines(
     if halo:
         pixels = with_halo(pixels, grid_log2=s.grid_log2)
 
-    ref_map = None
+    ref_bc = None
     if reference is not None and s.max_dist_ref is not None:
         ref_map = {
             int(t): (grp["px_row"].to_numpy(int), grp["px_col"].to_numpy(int))
             for t, grp in reference.groupby("tile")
         }
+        ref_bc = pixels.sparkSession.sparkContext.broadcast(ref_map)
 
     def run_group(grp: pd.DataFrame) -> pd.DataFrame:
-        rp = ref_map.get(int(grp["tile"].iloc[0])) if ref_map is not None else None
+        rp = (
+            ref_bc.value.get(int(grp["tile"].iloc[0]))
+            if ref_bc is not None
+            else None
+        )
         return scene_extract_pdf(grp, s, rp)
 
     def map_fn(batches):

@@ -522,9 +522,20 @@ def sessionize(
     ts_col: str = "ts",
     order_tiebreaker: str = "event_id",
     value_col: str | None = "value",
+    boundary: str = ">",
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts whenever the time
     since the user's previous event exceeds `gap_seconds`.
+
+    `boundary` selects the exact-gap semantics: the default `'>'` starts
+    a new session only when the gap STRICTLY exceeds `gap_seconds` —
+    this ALREADY agrees bit-for-bit with Spark's native `session_window`
+    (and thus `streaming.ingest.streaming_sessions`), because
+    session_window merges adjacent windows: an event at exactly
+    prev_ts + gap keeps the session open (pinned by the planted
+    exact-boundary parity test in tests/test_streaming.py). `'>='` is
+    the alternative half-open semantics where a gap of exactly
+    `gap_seconds` starts a new session.
 
     The classic web-analytics operator (the generalization of the
     reference's same-day grouping, SDS_tools.get_closest_datapoint
@@ -539,12 +550,14 @@ def sessionize(
     # parquet timestamps read as TIMESTAMP_NTZ; the session TZ is pinned
     # UTC, so the cast to (ltz) timestamp is offset-free and unix_micros
     # yields the same int64 micros DuckDB's epoch_us computes
+    if boundary not in (">", ">="):
+        raise ValueError("boundary must be '>' or '>='")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = W.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(order_tiebreaker).asc())
     gap_us = int(round(gap_seconds * 1_000_000))
-    new_sess = F.when(
-        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
-    ).otherwise(0)
+    delta = us - F.lag(us).over(w)
+    exceeded = delta > gap_us if boundary == ">" else delta >= gap_us
+    new_sess = F.when(F.lag(us).over(w).isNull() | exceeded, 1).otherwise(0)
     sess = events.withColumn(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
@@ -573,10 +586,11 @@ def sessionize_sql(
 ) -> str:
     """DuckDB mirror of `sessionize` (oracle): epoch_us = unix_micros.
 
-    `boundary='>'` mirrors the batch operator (new session only when the
-    gap strictly exceeds `gap_seconds`); `boundary='>='` mirrors Spark's
-    native half-open `session_window` (a gap of exactly `gap_seconds`
-    starts a new session) — the streaming analog's batch evaluation.
+    `boundary='>'` mirrors the batch default AND Spark's native
+    `session_window` (which merges adjacent windows, so an exact-gap
+    event keeps its session — see tests/test_streaming.py);
+    `boundary='>='` mirrors `sessionize(boundary=">=")`, the half-open
+    semantics where a gap of exactly `gap_seconds` starts a new session.
     """
     assert boundary in (">", ">=")
     gap_us = int(round(gap_seconds * 1_000_000))

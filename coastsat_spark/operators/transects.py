@@ -122,7 +122,7 @@ def median_intersections(pairs: DataFrame, time_col: str = "scene_month") -> Dat
 
 def qc_intersections(
     pairs: DataFrame,
-    n_scenes: int,
+    n_scenes: int | DataFrame,
     time_col: str = "scene_month",
     min_chainage: float = MIN_CHAINAGE,
     max_std: float = 0.25,
@@ -138,7 +138,11 @@ def qc_intersections(
     per-transect fraction of high-dispersion scenes (prc_over,
     :358-361) -> window over transect. `n_scenes` is the total number of
     scenes in the output (the reference's len(shorelines) denominator —
-    scenes with no nearby points count toward it).
+    scenes with no nearby points count toward it). Pass either a Python
+    int or a 1-row/1-column DataFrame: the DataFrame form keeps the
+    scalar IN-PLAN via a broadcast cross join — no driver-side action,
+    so a caller deriving the denominator from an expensive upstream
+    (e.g. the extracted shorelines) never forces an extra eager pass.
     """
     chain = F.when(F.col("chainage") < min_chainage, F.lit(None)).otherwise(F.col("chainage"))
     st = (
@@ -152,6 +156,13 @@ def qc_intersections(
             F.count("chain").alias("n"),
         )
     )
+    n_scenes_col = None
+    if isinstance(n_scenes, DataFrame) and multiple_inter == "auto":
+        scalar = n_scenes.select(
+            F.col(n_scenes.columns[0]).cast("double").alias("_n_scenes")
+        )
+        st = st.crossJoin(F.broadcast(scalar))
+        n_scenes_col = F.col("_n_scenes")
     # nanstd of a single value is 0.0 in numpy; stddev_pop gives 0.0 too.
     # A scene whose every chainage was min-chainage-nulled has n=0 -> NaN row.
     good = (
@@ -166,7 +177,10 @@ def qc_intersections(
         out = F.when(good, F.col("med")).when(enough, F.col("mx"))
     elif multiple_inter == "auto":
         w = W.partitionBy("transect")
-        prc_over = F.sum((F.col("std") > max_std).cast("int")).over(w) / F.lit(float(n_scenes))
+        denom = (
+            n_scenes_col if n_scenes_col is not None else F.lit(float(n_scenes))
+        )
+        prc_over = F.sum((F.col("std") > max_std).cast("int")).over(w) / denom
         use_max = prc_over > auto_prc
         out = F.when(good, F.col("med")).when(use_max & enough, F.col("mx"))
     else:

@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..datagen import tides_df
 from ..operators import raster, tiling, transects, timeseries
@@ -54,7 +55,11 @@ def run_flagship(
         shorelines.select("lon", "lat", "scene_month"), tr, use_bearing=not qc
     )
     if qc:
-        n_scenes = shorelines.select("scene_month").distinct().count()
+        # scalar stays IN-PLAN (broadcast 1-row cross join inside
+        # qc_intersections) — no driver-side action in the pipeline body
+        n_scenes = shorelines.agg(
+            F.countDistinct("scene_month").alias("n_scenes")
+        )
         ts = transects.qc_intersections(pairs, n_scenes=n_scenes)
     else:
         ts = transects.median_intersections(pairs)

@@ -102,13 +102,12 @@ def streaming_sessions(
     operator's output.
 
     Boundary semantics vs batch `timeseries.sessionize`: session_window
-    uses half-open windows — a gap of EXACTLY `gap` starts a new session
-    here, while the batch operator starts one only when the gap is
-    strictly greater than `gap`. The two agree on any input whose
-    inter-event gaps are never an exact multiple of the gap (the parity
-    test constructs such data); on exact-boundary gaps this produces one
-    more session than batch. Callers needing exact batch equivalence
-    should jitter the gap by -1 microsecond.
+    MERGES adjacent windows (a next event at exactly prev_ts + gap keeps
+    the session open), so it agrees bit-for-bit with the batch default
+    `boundary='>'` even on inputs with exact-boundary gaps — pinned by
+    the planted-boundary parity test in tests/test_streaming.py.
+    (`sessionize(boundary=">=")` is the genuinely different half-open
+    semantics, for callers that want a gap of exactly `gap` to break.)
     """
     # parquet timestamps read as TIMESTAMP_NTZ; event-time watermarks
     # need TimestampType — the UTC session TZ makes the cast offset-free

@@ -159,12 +159,15 @@ def test_lsh_dedup_distinct_carries_only_ids(spark):
             assert "c_emb" not in line and "embedding" not in line
 
 
-def test_halo_ghosts_are_jvm_broadcast_only(spark, web):
+def test_halo_ghosts_are_jvm_single_scan(spark, web):
     """with_halo's ghost generation must stay JVM-side (no Python eval
-    before the kernel) and join the 8-row offset table via broadcast —
-    the ghosts ride the existing scene-group shuffle."""
+    before the kernel) and consume the upstream exactly ONCE: ghosts are
+    emitted by a Generate (explode over the literal 9-offset array), not
+    by a second branch over the pixel aggregate — so callers need no
+    .persist() contract to avoid a double doc-scan (round-4 VERDICT
+    'what's wrong' #1)."""
     px = raster.aggregate_pixels(tiling.prepare_documents(web))
-    out = raster.extract_shorelines(px)
+    out = raster.extract_shorelines(px)  # deliberately NOT persisted
     plan = _plan(out)
     # the contour kernel is a mapInPandas over key-sorted partitions (one
     # Arrow batch per ~10k rows, group loop inside the UDF) — not a
@@ -173,7 +176,20 @@ def test_halo_ghosts_are_jvm_broadcast_only(spark, web):
     assert kernel_pos != -1
     below = plan[kernel_pos:]
     assert "ArrowEvalPython" not in below and "BatchEvalPython" not in below
-    assert "BroadcastNestedLoopJoin" in plan  # 8-row offsets, broadcast
+    # ghost emission is a JVM explode, never a join
+    assert "Generate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one scan of the webpages source and one pixel aggregate
+    # pair (partial + final): the halo no longer re-reads the upstream.
+    # Count node-detail headers ("(1) Scan parquet") — each node also
+    # appears once in the tree rendering.
+    import re as _re
+
+    scans = _re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)
+    assert len(scans) == 1, scans
+    aggs = _re.findall(r"^\(\d+\) HashAggregate", plan, _re.M)
+    # partial + final of shuffle-1 only (no duplicated aggregate branch)
+    assert len(aggs) == 2, aggs
 
 
 def test_star_edges_single_bucket_exchange(spark):
