@@ -214,11 +214,37 @@ def partition_file_stats(path: str, partition_col: str) -> dict[str, tuple[int, 
     return stats
 
 
+MANIFEST_NAME = "_manifest.json"
+
+
+def _live_dir(path: str) -> tuple[str, dict | None]:
+    """Resolve a table root to its live data directory: through the
+    `_manifest.json` snapshot pointer when one exists, else the root
+    itself (a plain parquet table that has never been compacted)."""
+    mf = os.path.join(path, MANIFEST_NAME)
+    if os.path.exists(mf):
+        with open(mf) as f:
+            m = json.load(f)
+        return os.path.join(path, m["data_dir"]), m
+    return path, None
+
+
+def read_table(spark, path: str) -> "DataFrame":
+    """Reader half of the snapshot contract: resolve the manifest pointer
+    (if any) and read the live snapshot. A reader holding a plan built
+    from the previous manifest keeps working through one compaction
+    cycle — the superseded snapshot directory is retained as a grace
+    copy until the NEXT compaction sweeps it."""
+    live, _ = _live_dir(path)
+    return spark.read.parquet(live)
+
+
 def compact_partitions(
     spark,
     path: str,
     partition_col: str = "warc_month",
     target_mb: int = 128,
+    _crash_before_commit=None,
 ) -> dict[str, int]:
     """Bin-pack each hive partition of a parquet table into
     ceil(bytes / target_mb) files — the maintenance operator that keeps a
@@ -229,46 +255,53 @@ def compact_partitions(
 
     One shuffle keyed by (partition, salt) where salt < the partition's
     target file count (literal map expression, so skewed partitions get
-    more files). The rewrite stages into a sibling directory and swaps it
-    in whole — a file-based source cannot overwrite the path it is
-    reading, and the stage+swap is exactly the shape Iceberg's
-    rewrite_data_files commits via a metadata pointer (atomic there; a
-    plain directory rename here). Returns the planned
+    more files). The commit is a MANIFEST-POINTER SWAP, the same shape
+    as Iceberg's snapshot commit: the rewrite stages into a fresh
+    versioned directory `_data/v{N}` under the table root, is validated
+    against the source row count, and becomes live via one atomic
+    `os.replace` of `_manifest.json` — there is NO window in which a
+    reader resolving through `read_table` sees a missing or partial
+    table (a kill at ANY point leaves the manifest bytes either entirely
+    old or entirely new; asserted by the kill-injection test in
+    tests/test_sinks_misc.py). The superseded snapshot is kept as a
+    grace copy for in-flight readers and swept at the next compaction —
+    a one-version approximation of Iceberg's snapshot retention /
+    time-travel (full history would keep every version until an
+    explicit expire). Underscore-prefixed `_data` is invisible to
+    Spark's file index, so a not-yet-migrated table still plain-reads
+    correctly mid-staging. Returns the planned
     {partition_value: n_files} map.
     """
     import shutil
+    from glob import glob as _glob
 
-    tmp = path.rstrip("/") + ".compacting"
-    old = path.rstrip("/") + ".precompact"
-    # a stale staging dir from a prior failed run would make the swap
-    # renames raise; a stale backup means a prior run crashed mid-swap —
-    # if the live path is missing, restore it from the backup first
-    if os.path.exists(old) and not os.path.exists(path):
-        os.rename(old, path)
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    if os.path.exists(old):
-        # backup alongside a live table: either a crash between the swap
-        # and the backup delete (copies agree -> safe to sweep) or a
-        # previous post-swap validation failure that deliberately KEPT
-        # the backup (copies disagree -> deleting it would destroy the
-        # only good data; require manual resolution)
-        live_rows = spark.read.parquet(path).count()
-        bak_rows = spark.read.parquet(old).count()
-        if live_rows != bak_rows:
-            raise RuntimeError(
-                f"compact_partitions: backup {old} ({bak_rows} rows) disagrees "
-                f"with live table {path} ({live_rows} rows) — a previous "
-                f"post-swap validation failed; resolve manually before compacting"
-            )
-        shutil.rmtree(old)
+    mf_path = os.path.join(path, MANIFEST_NAME)
+    live, manifest = _live_dir(path)
+    version = int((manifest or {}).get("version", 0))
 
-    stats = partition_file_stats(path, partition_col)
+    # entry sweep: version dirs not referenced by the manifest are
+    # either aborted stagings (crash mid-write) or the grace snapshot
+    # superseded by the last successful commit
+    for d in _glob(os.path.join(path, "_data", "v*")):
+        if manifest is None or os.path.abspath(d) != os.path.abspath(live):
+            shutil.rmtree(d)
+    if manifest is not None:
+        # pre-migration loose files, superseded by the first snapshot
+        # commit, are swept once a manifest governs the table
+        for entry in os.listdir(path):
+            p = os.path.join(path, entry)
+            if entry.startswith(f"{partition_col}="):
+                shutil.rmtree(p)
+            elif entry.endswith(".parquet") and os.path.isfile(p):
+                os.remove(p)
+        live, manifest = _live_dir(path)  # unchanged, re-read for safety
+
+    stats = partition_file_stats(live, partition_col)
     target = max(1, target_mb) * 1024 * 1024
     plan = {
         pv: max(1, -(-size // target)) for pv, (_n, size) in stats.items()
     }
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(live)
     src_rows = df.count()
     nf = F.create_map(
         *[x for pv, n in sorted(plan.items()) for x in (F.lit(pv), F.lit(int(n)))]
@@ -277,33 +310,44 @@ def compact_partitions(
         "_salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), nf[F.col(partition_col)]),
     )
+    new_rel = os.path.join("_data", f"v{version + 1}")
+    new_dir = os.path.join(path, new_rel)
     (
         salted.repartition(F.col(partition_col), F.col("_salt"))
         .drop("_salt")
         .write.mode("overwrite")
         .partitionBy(partition_col)
-        .parquet(tmp)
+        .parquet(new_dir)
     )
-    # validate the staged rewrite BEFORE touching the live path
-    staged_rows = spark.read.parquet(tmp).count()
+    # validate the staged rewrite BEFORE the commit becomes visible
+    staged_rows = spark.read.parquet(new_dir).count()
     if staged_rows != src_rows:
-        shutil.rmtree(tmp)
+        shutil.rmtree(new_dir)
         raise RuntimeError(
             f"compact_partitions: staged rewrite has {staged_rows} rows, "
-            f"source has {src_rows}; aborting swap (source untouched)"
+            f"source has {src_rows}; aborting commit (manifest untouched)"
         )
-    os.rename(path, old)
-    os.rename(tmp, path)
-    # delete the backup only after a successful post-swap read: a crash
-    # anywhere above leaves either the original at `path` or the backup
-    # at `old` (recovered on the next invocation's entry check)
-    post_rows = spark.read.parquet(path).count()
-    if post_rows != src_rows:
-        raise RuntimeError(
-            f"compact_partitions: post-swap read has {post_rows} rows, "
-            f"expected {src_rows}; backup kept at {old}"
+    if _crash_before_commit is not None:
+        _crash_before_commit()  # test-only kill injection point
+    files = sorted(
+        os.path.relpath(f, path)
+        for f in _glob(os.path.join(new_dir, "**", "*.parquet"), recursive=True)
+    )
+    tmp_mf = mf_path + ".tmp"
+    with open(tmp_mf, "w") as f:
+        json.dump(
+            {
+                "version": version + 1,
+                "data_dir": new_rel,
+                "files": files,
+                "rows": int(src_rows),
+                "plan": {pv: int(n) for pv, n in plan.items()},
+            },
+            f,
         )
-    shutil.rmtree(old)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_mf, mf_path)  # THE commit: atomic pointer swap
     return {pv: int(n) for pv, n in plan.items()}
 
 

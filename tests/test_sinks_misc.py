@@ -213,10 +213,11 @@ def test_compact_partitions_preserves_rows_and_cuts_files(spark, tmp_path):
 
     plan = sinks.compact_partitions(spark, src, partition_col="m", target_mb=128)
     assert set(plan) == set(before) and all(n == 1 for n in plan.values())
-    after = sinks.partition_file_stats(src, "m")
+    live, manifest = sinks._live_dir(src)
+    assert manifest is not None and manifest["version"] == 1
+    after = sinks.partition_file_stats(live, "m")
     assert sum(n for n, _ in after.values()) == 12  # one file per month
-    assert not os.path.exists(src + ".compacting")
-    rows_after = spark.read.parquet(src).toPandas()
+    rows_after = sinks.read_table(spark, src).toPandas()
     key = ["id"]
     a = rows_before.sort_values(key).reset_index(drop=True)
     b = rows_after.sort_values(key).reset_index(drop=True)
@@ -224,13 +225,16 @@ def test_compact_partitions_preserves_rows_and_cuts_files(spark, tmp_path):
     assert sorted(a["m"]) == sorted(b["m"])
 
 
-def test_compact_partitions_recovers_from_crash_and_stale_dirs(spark, tmp_path):
-    """Crash-between-renames recovery: a stale .precompact backup with a
-    missing live path is restored at entry, and stale .compacting /
-    .precompact leftovers never make the operator unrunnable."""
+def test_compact_partitions_kill_never_hides_table(spark, tmp_path):
+    """Snapshot-isolated commit: kill the process at the injection point
+    AFTER staging but BEFORE the manifest replace — readers resolving
+    through read_table still see the previous snapshot, complete and
+    row-identical; the aborted staging is swept on the next run and a
+    clean re-run commits normally. There is no crash window in which the
+    table is missing (the round-3/4 rename swap had one)."""
     import os
-    import shutil
 
+    import pytest as _pytest
     from pyspark.sql import functions as F
 
     from coastsat_spark.operators import sinks
@@ -244,53 +248,75 @@ def test_compact_partitions_recovers_from_crash_and_stale_dirs(spark, tmp_path):
     df.write.partitionBy("m").parquet(src)
     rows = spark.read.parquet(src).count()
 
-    # simulate the crash window: table moved to .precompact, swap never
-    # completed (no live path), plus an abandoned .compacting staging dir
-    os.rename(src, src + ".precompact")
-    os.makedirs(src + ".compacting")
-    with open(os.path.join(src + ".compacting", "junk"), "w") as f:
-        f.write("stale")
+    class Kill(RuntimeError):
+        pass
 
+    def _boom():
+        raise Kill("simulated kill between stage and commit")
+
+    # migration run killed pre-commit: no manifest, loose files intact,
+    # plain AND manifest-resolved reads both still see the full table
+    with _pytest.raises(Kill):
+        sinks.compact_partitions(
+            spark, src, partition_col="m", _crash_before_commit=_boom
+        )
+    assert not os.path.exists(os.path.join(src, sinks.MANIFEST_NAME))
+    assert sinks.read_table(spark, src).count() == rows
+    assert spark.read.parquet(src).count() == rows  # _data is underscore-hidden
+
+    # clean run: sweeps the aborted staging, commits v2 of the dir space
     plan = sinks.compact_partitions(spark, src, partition_col="m", target_mb=128)
     assert set(plan) == {"2024-01", "2024-02", "2024-03"}
-    assert spark.read.parquet(src).count() == rows
-    assert not os.path.exists(src + ".compacting")
-    assert not os.path.exists(src + ".precompact")
+    assert sinks.read_table(spark, src).count() == rows
+    live1, m1 = sinks._live_dir(src)
+    assert m1 is not None
 
-    # stale dirs alongside a healthy live table are swept, not fatal
-    os.makedirs(src + ".compacting")
-    shutil.copytree(src, src + ".precompact")
+    # second-generation kill: manifest still points at the v1 snapshot,
+    # which is untouched — readers never see a missing table
+    with _pytest.raises(Kill):
+        sinks.compact_partitions(
+            spark, src, partition_col="m", _crash_before_commit=_boom
+        )
+    live2, m2 = sinks._live_dir(src)
+    assert m2["version"] == m1["version"] and live2 == live1
+    assert sinks.read_table(spark, src).count() == rows
+
+    # and the next clean run recovers + commits a new version
     sinks.compact_partitions(spark, src, partition_col="m", target_mb=128)
-    assert spark.read.parquet(src).count() == rows
-    assert not os.path.exists(src + ".precompact")
+    _, m3 = sinks._live_dir(src)
+    assert m3["version"] == m1["version"] + 1
+    assert sinks.read_table(spark, src).count() == rows
 
 
-def test_compact_partitions_refuses_to_delete_disagreeing_backup(spark, tmp_path):
-    """A backup kept by a failed post-swap validation must never be swept:
-    when live and backup disagree, compact_partitions raises instead of
-    deleting the only good copy."""
-    import shutil
+def test_compact_partitions_grace_snapshot_and_sweep(spark, tmp_path):
+    """A reader that resolved the manifest BEFORE a compaction keeps
+    reading its (grace) snapshot afterwards; the grace copy is swept only
+    by the NEXT compaction, and repeated compactions keep row counts
+    exact."""
+    import os
 
-    import pytest as _pytest
     from pyspark.sql import functions as F
 
     from coastsat_spark.operators import sinks
 
     src = str(tmp_path / "tbl")
     df = (
-        spark.range(0, 1000, 1, 2)
+        spark.range(0, 3000, 1, 4)
         .withColumn("m", F.lit("2024-01"))
         .withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
     )
     df.write.partitionBy("m").parquet(src)
-    # backup with DIFFERENT contents (simulates corrupt live after a
-    # failed post-swap check)
-    spark.range(0, 500, 1, 1).withColumn("m", F.lit("2024-01")).withColumn(
-        "payload", F.sha2(F.col("id").cast("string"), 256)
-    ).write.partitionBy("m").parquet(src + ".precompact")
+    rows = spark.read.parquet(src).count()
 
-    with _pytest.raises(RuntimeError, match="disagrees"):
-        sinks.compact_partitions(spark, src, partition_col="m")
-    import os
+    sinks.compact_partitions(spark, src, partition_col="m")  # v1
+    live_v1, _ = sinks._live_dir(src)
+    stale_reader = spark.read.parquet(live_v1)  # resolved pre-compaction
 
-    assert os.path.exists(src + ".precompact")  # backup preserved
+    sinks.compact_partitions(spark, src, partition_col="m")  # v2; v1 = grace
+    assert os.path.exists(live_v1)  # grace copy retained for the reader
+    assert stale_reader.count() == rows  # in-flight reader unharmed
+    assert sinks.read_table(spark, src).count() == rows
+
+    sinks.compact_partitions(spark, src, partition_col="m")  # v3 sweeps v1
+    assert not os.path.exists(live_v1)
+    assert sinks.read_table(spark, src).count() == rows
