@@ -7,9 +7,13 @@ batch shapes, deterministic synthetic payloads — is real and tested.
 REAL codecs (pure-NumPy struct parsing, no libraries needed):
   - BMP: uncompressed 24-bit BI_RGB (bottom-up or top-down rows, 4-byte
     row padding) — encode + decode;
-  - WAV: RIFF PCM mono 16-bit (chunk-walking parser) — encode + decode.
-Compressed codecs (JPEG/PNG/MP3/...) stay honestly STUBBED with
-NotImplementedError: the container has no codec libraries.
+  - WAV: RIFF PCM mono 16-bit (chunk-walking parser) — encode + decode;
+  - JPEG: baseline sequential DCT (functions/jpeg.py — full T.81
+    baseline: Huffman, quant, zigzag, IDCT, 4:4:4/4:2:0, restart
+    markers) — encode + decode. Progressive JPEG and the remaining
+    compressed codecs (PNG/MP3/...) stay honestly STUBBED with
+    NotImplementedError: the container has no codec libraries to
+    verify against.
 
 A deterministic FAKE container format remains supported for tests:
   image: b"FIMG|" + w(le32) + h(le32) + c(le32) + w*h*c raw bytes
@@ -107,19 +111,26 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 def decode_image_bytes(payload: bytes) -> np.ndarray:
-    """Decode an image payload to (h, w, c) uint8: real BMP parsing, the
-    FIMG fake container for tests; compressed codecs (JPEG/PNG/...) are
-    intentionally unimplemented in this environment."""
+    """Decode an image payload to (h, w, c) uint8: real BMP and baseline
+    JPEG parsing, the FIMG fake container for tests; the remaining
+    compressed codecs (PNG/...) are intentionally unimplemented in this
+    environment."""
     if payload is None:
         return None
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from ..functions.jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+        return img if img.ndim == 3 else img[:, :, None]
     if payload.startswith(IMAGE_MAGIC):
         w, h, c = struct.unpack_from("<III", payload, len(IMAGE_MAGIC))
         off = len(IMAGE_MAGIC) + 12
         return np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=off).reshape(h, w, c)
     raise NotImplementedError(
-        "compressed image codecs unavailable in this container; expected BMP or FIMG"
+        "compressed image codecs unavailable in this container; "
+        "expected BMP, baseline JPEG or FIMG"
     )
 
 
@@ -147,6 +158,26 @@ def make_bmp_image(idx: int, w: int = 16, h: int = 12) -> bytes:
         np.uint8
     )
     return encode_bmp(px.reshape(h, w, 3))
+
+
+def make_jpeg_image(idx: int, w: int = 16, h: int = 12, quality: int = 90) -> bytes:
+    """Deterministic REAL baseline-JPEG payload. Pixels are a smooth
+    per-idx gradient rather than the hash noise of make_bmp_image: JPEG
+    is lossy, so payload tests pin decoded stats within PSNR bounds, and
+    smooth content keeps those bounds tight."""
+    from ..functions.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = (idx % 97) * 1.3
+    img = np.stack(
+        [
+            128 + 80 * np.sin(xx / 7.0 + base),
+            128 + 60 * np.cos(yy / 5.0 + base),
+            128 + 50 * np.sin((xx + yy) / 9.0 + base),
+        ],
+        axis=-1,
+    )
+    return encode_jpeg(np.clip(img, 0, 255).astype(np.uint8), quality=quality)
 
 
 def make_wav_audio(idx: int, sr: int = 8000, n: int = 1600) -> bytes:
