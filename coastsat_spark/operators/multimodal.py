@@ -10,10 +10,12 @@ REAL codecs (pure-NumPy struct parsing, no libraries needed):
   - WAV: RIFF PCM mono 16-bit (chunk-walking parser) — encode + decode;
   - JPEG: baseline sequential DCT (functions/jpeg.py — full T.81
     baseline: Huffman, quant, zigzag, IDCT, 4:4:4/4:2:0, restart
-    markers) — encode + decode. Progressive JPEG and the remaining
-    compressed codecs (PNG/MP3/...) stay honestly STUBBED with
-    NotImplementedError: the container has no codec libraries to
-    verify against.
+    markers) — encode + decode;
+  - PNG: 8-bit grey/RGB/RGBA/palette, all five scanline filters,
+    CRC-validated (functions/png.py; DEFLATE via stdlib zlib) —
+    encode + decode.
+Progressive JPEG, 16-bit/interlaced PNG and audio codecs beyond WAV
+(MP3/...) stay honestly STUBBED with NotImplementedError.
 
 A deterministic FAKE container format remains supported for tests:
   image: b"FIMG|" + w(le32) + h(le32) + c(le32) + w*h*c raw bytes
@@ -123,6 +125,11 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         from ..functions.jpeg import decode_jpeg
 
         img = decode_jpeg(payload)
+        return img if img.ndim == 3 else img[:, :, None]
+    if payload.startswith(b"\x89PNG"):
+        from ..functions.png import decode_png
+
+        img = decode_png(payload)
         return img if img.ndim == 3 else img[:, :, None]
     if payload.startswith(IMAGE_MAGIC):
         w, h, c = struct.unpack_from("<III", payload, len(IMAGE_MAGIC))

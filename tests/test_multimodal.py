@@ -19,9 +19,10 @@ def test_audio_roundtrip():
     assert sr == 8000 and len(samples) == 1600
 
 
-def test_real_codecs_are_stubbed():
+def test_unimplemented_codecs_fail_loudly():
+    # JPEG/PNG/BMP/WAV are real now; formats beyond them stay loud stubs
     with pytest.raises(NotImplementedError):
-        MM.decode_image_bytes(b"\x89PNG\r\n....")
+        MM.decode_image_bytes(b"GIF89a......")
     with pytest.raises(NotImplementedError):
         MM.decode_audio_bytes(b"RIFFxxxxWAVE")
 
