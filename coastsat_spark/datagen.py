@@ -285,7 +285,13 @@ def tides_df(spark, start_s: int = TS_START_S, span_s: int = TS_SPAN_S, step_s: 
 
 
 def webpages_path(sf: float, base_dir: str = "/root/repo/data") -> str:
-    return os.path.join(base_dir, f"webpages_sf{sf}")
+    # one canonical dir per scale: 16 and 16.0 must resolve identically,
+    # or a float-parsed CLI arg silently regenerates a 20 GB table into
+    # "webpages_sf16.0" beside the existing "webpages_sf16" (this
+    # happened — the duplicate datagen is also what crashed the first
+    # sf16 skew-study run)
+    sf_txt = int(sf) if float(sf) == int(sf) else sf
+    return os.path.join(base_dir, f"webpages_sf{sf_txt}")
 
 
 def ensure_webpages(spark, sf: float, base_dir: str = "/root/repo/data") -> str:

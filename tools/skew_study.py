@@ -21,7 +21,10 @@ the skewed world. The reference analog is the 100 km^2 GEE tile cap
 (README.md:157) — a size bound on any one unit of work.
 
 Ambient DRAM bandwidth is sampled throughout (shared-host honesty; see
-BENCH/noise_log.jsonl).
+BENCH/noise_log.jsonl). Caveat on reading it: the sampler thread
+competes with Spark's own 16-32 worker threads, so DURING a stage it
+reads the job's self-contention (~0.01 GB/s), not the co-tenant; only
+samples taken between jobs reflect ambient noise.
 
 Usage: python tools/skew_study.py [sf] [cpus] [base_res] [out_json]
 Writes BENCH/skew_study_sf{sf}.json (also printed).
@@ -101,15 +104,19 @@ def run_variant(
         keyed = geo.withColumn(
             "atile", cells.encode_cell(F.col("lat"), F.col("lon"), base_res)
         )
+    # materialize the keyed input BEFORE the timed region: the ON
+    # variant's key derivation is a 5-level count/broadcast chain that a
+    # production pipeline computes once per world, and leaving it lazy
+    # put ~55 s of repeated chain evaluation inside the ON timer at
+    # sf0.1 — the study's claim is about the SHUFFLE+KERNEL stage, so
+    # only that may sit between t0 and wall
+    keyed = keyed.select("atile", "lat").persist()
+    keyed.count()
     # explicit partition count > #keys reduces same-partition collisions
     # of two hot keys (balls-in-bins), so task metrics measure KEY skew,
     # not hash accidents; AQE coalescing is disabled in this session so
     # every reducer is a real task
-    rep = (
-        keyed.select("atile", "lat")
-        .repartition(rep_n, "atile")
-        .sortWithinPartitions("atile")
-    )
+    rep = keyed.repartition(rep_n, "atile").sortWithinPartitions("atile")
     job = rep.mapInPandas(_kernel, schema="n long, acc double")
 
     before = {s["stageId"] for s in rest_stages(spark)}
@@ -153,6 +160,7 @@ def run_variant(
         )
         .collect()[0]
     )
+    keyed.unpersist()
     return {
         "adaptive": adaptive,
         "wall_s": round(wall, 3),
@@ -208,6 +216,10 @@ def main() -> None:
             # coalescing would merge small partitions and hide the
             # hot-task / median contrast this study exists to measure
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            # the sf16 run of 2026-08-18 lost a Python worker with no
+            # traceback; keep the faulthandler on so any repeat is
+            # diagnosable from the executor log
+            "spark.python.worker.faulthandler.enabled": "true",
         },
         tmpfs_local_dir=True,
     )
@@ -224,6 +236,14 @@ def main() -> None:
     n = geo.count()
     cap = max(50_000, n // (8 * cpus))
     rep_n = 8 * cpus
+
+    # warm the Python worker pool before the first timed variant: the
+    # first mapInPandas stage of a session pays one fork+import per core
+    # (~2.5 s each observed), which otherwise lands entirely on the OFF
+    # variant and flattens its task-skew ratios
+    spark.range(0, cpus * 4, 1, cpus * 4).selectExpr(
+        "cast(id as double) as lat", "'0' as atile"
+    ).mapInPandas(_kernel, schema="n long, acc double").agg(F.sum("n")).collect()
 
     amb = AmbientSampler()
     amb.start()
