@@ -229,14 +229,88 @@ def _live_dir(path: str) -> tuple[str, dict | None]:
     return path, None
 
 
-def read_table(spark, path: str) -> "DataFrame":
+def _version_manifests(path: str) -> dict[int, dict]:
+    """Retained per-version manifests (`_manifest_v{N}.json`), sorted by
+    version. Each commit writes one alongside the live pointer; expiry
+    deletes it together with its snapshot directory, so this map IS the
+    set of time-travelable versions."""
+    from glob import glob as _glob
+
+    out: dict[int, dict] = {}
+    for f in _glob(os.path.join(path, "_manifest_v*.json")):
+        with open(f) as fh:
+            m = json.load(fh)
+        out[int(m["version"])] = m
+    return dict(sorted(out.items()))
+
+
+def table_history(path: str) -> list[dict]:
+    """Snapshot history of a compacted table, oldest first — the
+    Iceberg `table.history()` analog. One entry per retained version:
+    {version, data_dir, rows, n_files, live}."""
+    _, live_mf = _live_dir(path)
+    live_v = int(live_mf["version"]) if live_mf else None
+    return [
+        {
+            "version": v,
+            "data_dir": m["data_dir"],
+            "rows": int(m.get("rows", -1)),
+            "n_files": len(m.get("files", [])),
+            "live": v == live_v,
+        }
+        for v, m in _version_manifests(path).items()
+    ]
+
+
+def read_table(spark, path: str, version: int | None = None) -> "DataFrame":
     """Reader half of the snapshot contract: resolve the manifest pointer
     (if any) and read the live snapshot. A reader holding a plan built
     from the previous manifest keeps working through one compaction
-    cycle — the superseded snapshot directory is retained as a grace
-    copy until the NEXT compaction sweeps it."""
-    live, _ = _live_dir(path)
-    return spark.read.parquet(live)
+    cycle — the superseded snapshot directory is retained until expiry
+    (`retain_versions` on compact_partitions / `expire_snapshots`).
+
+    `version=` time-travels to a retained snapshot (Iceberg
+    `VERSION AS OF`): the read resolves `_manifest_v{N}.json` instead of
+    the live pointer and raises a ValueError naming the retained
+    versions when N has been expired — never a silent wrong answer."""
+    if version is None:
+        live, _ = _live_dir(path)
+        return spark.read.parquet(live)
+    retained = _version_manifests(path)
+    if version not in retained:
+        raise ValueError(
+            f"read_table: snapshot v{version} of {path} is not retained "
+            f"(available: {sorted(retained) or 'none — table never compacted'}); "
+            "raise retain_versions on compact_partitions to keep more history"
+        )
+    return spark.read.parquet(os.path.join(path, retained[version]["data_dir"]))
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest `keep_last` retained snapshots (the live
+    one is always kept) — Iceberg's `expire_snapshots` maintenance
+    action. Deletes each expired version's data directory AND its
+    version manifest in that order (a crash between the two leaves an
+    orphan manifest whose dir is gone; read_table on it fails loudly and
+    the next compaction's sweep removes it). Returns the expired
+    version numbers."""
+    import shutil
+
+    _, live_mf = _live_dir(path)
+    live_v = int(live_mf["version"]) if live_mf else -1
+    versions = sorted(_version_manifests(path))
+    keep = set(versions[-max(1, keep_last):]) | {live_v}
+    expired = []
+    for v in versions:
+        if v in keep:
+            continue
+        m = _version_manifests(path)[v]
+        d = os.path.join(path, m["data_dir"])
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.remove(os.path.join(path, f"_manifest_v{v}.json"))
+        expired.append(v)
+    return expired
 
 
 def compact_partitions(
@@ -244,6 +318,7 @@ def compact_partitions(
     path: str,
     partition_col: str = "warc_month",
     target_mb: int = 128,
+    retain_versions: int = 2,
     _crash_before_commit=None,
 ) -> dict[str, int]:
     """Bin-pack each hive partition of a parquet table into
@@ -263,11 +338,13 @@ def compact_partitions(
     reader resolving through `read_table` sees a missing or partial
     table (a kill at ANY point leaves the manifest bytes either entirely
     old or entirely new; asserted by the kill-injection test in
-    tests/test_sinks_misc.py). The superseded snapshot is kept as a
-    grace copy for in-flight readers and swept at the next compaction —
-    a one-version approximation of Iceberg's snapshot retention /
-    time-travel (full history would keep every version until an
-    explicit expire). Underscore-prefixed `_data` is invisible to
+    tests/test_sinks_misc.py). Each commit also writes a per-version
+    manifest `_manifest_v{N}.json`; the newest `retain_versions`
+    snapshots are retained (default 2 = live + one grace copy for
+    in-flight readers), older ones expired post-commit — Iceberg's
+    snapshot retention, with `read_table(version=N)` /
+    `table_history()` / `expire_snapshots()` providing the time-travel
+    surface. Underscore-prefixed `_data` is invisible to
     Spark's file index, so a not-yet-migrated table still plain-reads
     correctly mid-staging. Returns the planned
     {partition_value: n_files} map.
@@ -279,12 +356,24 @@ def compact_partitions(
     live, manifest = _live_dir(path)
     version = int((manifest or {}).get("version", 0))
 
-    # entry sweep: version dirs not referenced by the manifest are
-    # either aborted stagings (crash mid-write) or the grace snapshot
-    # superseded by the last successful commit
+    # entry sweep: version dirs referenced by neither the live pointer
+    # nor a retained per-version manifest are aborted stagings (crash
+    # mid-write) — delete them; retained snapshots stay until expiry
+    retained = _version_manifests(path)
+    keep_dirs = {
+        os.path.abspath(os.path.join(path, m["data_dir"]))
+        for m in retained.values()
+    }
+    if manifest is not None:
+        keep_dirs.add(os.path.abspath(live))
     for d in _glob(os.path.join(path, "_data", "v*")):
-        if manifest is None or os.path.abspath(d) != os.path.abspath(live):
+        if os.path.abspath(d) not in keep_dirs:
             shutil.rmtree(d)
+    # orphan version manifests (dir deleted by a crashed expiry) fail
+    # loudly in read_table; sweep them here so history stays truthful
+    for v, m in retained.items():
+        if not os.path.isdir(os.path.join(path, m["data_dir"])):
+            os.remove(os.path.join(path, f"_manifest_v{v}.json"))
     if manifest is not None:
         # pre-migration loose files, superseded by the first snapshot
         # commit, are swept once a manifest governs the table
@@ -333,21 +422,27 @@ def compact_partitions(
         os.path.relpath(f, path)
         for f in _glob(os.path.join(new_dir, "**", "*.parquet"), recursive=True)
     )
+    mf = {
+        "version": version + 1,
+        "data_dir": new_rel,
+        "files": files,
+        "rows": int(src_rows),
+        "plan": {pv: int(n) for pv, n in plan.items()},
+    }
+    # per-version manifest first (time-travel target); a crash between
+    # this write and the pointer swap leaves a retained-but-never-live
+    # snapshot, which the next compaction simply restages over
+    with open(os.path.join(path, f"_manifest_v{version + 1}.json"), "w") as f:
+        json.dump(mf, f)
+        f.flush()
+        os.fsync(f.fileno())
     tmp_mf = mf_path + ".tmp"
     with open(tmp_mf, "w") as f:
-        json.dump(
-            {
-                "version": version + 1,
-                "data_dir": new_rel,
-                "files": files,
-                "rows": int(src_rows),
-                "plan": {pv: int(n) for pv, n in plan.items()},
-            },
-            f,
-        )
+        json.dump(mf, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_mf, mf_path)  # THE commit: atomic pointer swap
+    expire_snapshots(path, keep_last=max(1, retain_versions))
     return {pv: int(n) for pv, n in plan.items()}
 
 

@@ -320,3 +320,58 @@ def test_compact_partitions_grace_snapshot_and_sweep(spark, tmp_path):
     sinks.compact_partitions(spark, src, partition_col="m")  # v3 sweeps v1
     assert not os.path.exists(live_v1)
     assert sinks.read_table(spark, src).count() == rows
+
+
+def test_snapshot_time_travel_history_and_expiry(spark, tmp_path):
+    """Iceberg-analog snapshot surface: read_table(version=N) resolves a
+    retained snapshot byte-for-byte, table_history() lists retained
+    versions with the live flag, expiry (automatic via retain_versions
+    and explicit via expire_snapshots) removes data + manifest together,
+    and a time-travel read of an expired version fails loudly naming
+    what IS retained."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from coastsat_spark.operators import sinks
+
+    src = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 2000, 1, 4)
+        .withColumn("m", F.lit("2024-02"))
+        .withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+    )
+    df.write.partitionBy("m").parquet(src)
+    rows = spark.read.parquet(src).count()
+
+    # three commits with a generous retention window
+    for _ in range(3):
+        sinks.compact_partitions(spark, src, partition_col="m", retain_versions=3)
+
+    hist = sinks.table_history(src)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert [h["live"] for h in hist] == [False, False, True]
+    assert all(h["rows"] == rows for h in hist)
+
+    # time travel: every retained version replays the same rows, and the
+    # non-live snapshot is a real independent directory
+    for v in (1, 2, 3):
+        assert sinks.read_table(spark, src, version=v).count() == rows
+    assert (
+        sinks.read_table(spark, src, version=1)
+        .agg(F.sum("id").alias("s"))
+        .collect()[0]["s"]
+        == sinks.read_table(spark, src).agg(F.sum("id").alias("s")).collect()[0]["s"]
+    )
+
+    # explicit expiry keeps the newest keep_last (live always survives)
+    expired = sinks.expire_snapshots(src, keep_last=1)
+    assert expired == [1, 2]
+    assert [h["version"] for h in sinks.table_history(src)] == [3]
+    with pytest.raises(ValueError, match="not retained"):
+        sinks.read_table(spark, src, version=1)
+    assert sinks.read_table(spark, src).count() == rows  # live unharmed
+
+    # automatic retention on the next commit: default retain_versions=2
+    sinks.compact_partitions(spark, src, partition_col="m")  # v4
+    assert [h["version"] for h in sinks.table_history(src)] == [3, 4]
+    assert sinks.read_table(spark, src, version=3).count() == rows
