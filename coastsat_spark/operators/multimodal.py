@@ -113,10 +113,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 def decode_image_bytes(payload: bytes) -> np.ndarray:
-    """Decode an image payload to (h, w, c) uint8: real BMP and baseline
-    JPEG parsing, the FIMG fake container for tests; the remaining
-    compressed codecs (PNG/...) are intentionally unimplemented in this
-    environment."""
+    """Decode an image payload to (h, w, c) uint8: real BMP, baseline
+    JPEG and PNG parsing, the FIMG fake container for tests; codec
+    variants beyond those (progressive JPEG, 16-bit/interlaced PNG,
+    ...) are intentionally unimplemented in this environment."""
     if payload is None:
         return None
     if payload.startswith(b"BM"):
@@ -136,8 +136,8 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         off = len(IMAGE_MAGIC) + 12
         return np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=off).reshape(h, w, c)
     raise NotImplementedError(
-        "compressed image codecs unavailable in this container; "
-        "expected BMP, baseline JPEG or FIMG"
+        "unsupported image codec in this container; "
+        "expected BMP, baseline JPEG, PNG or FIMG"
     )
 
 

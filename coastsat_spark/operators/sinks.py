@@ -128,12 +128,63 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
     """The in-place half of S11 at table scope: dynamic partition
     overwrite rewrites ONLY the partitions present in `df`, leaving every
     other partition's files untouched — the Spark-native equivalent of
-    rewriting one raster file in place (no full-table rewrite at 100 TB)."""
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .parquet(path)
+    rewriting one raster file in place (no full-table rewrite at 100 TB).
+
+    On a plain parquet table this is Spark's native dynamic overwrite.
+    On a MANIFEST-GOVERNED table (one that has been through
+    compact_partitions) writing at the root would be silently invisible —
+    read_table resolves through the pointer and the next compaction
+    sweeps root-level partition dirs — so the overwrite instead commits a
+    NEW SNAPSHOT: the replaced partitions are written fresh into a staged
+    version directory, every untouched live file is HARD-LINKED into it
+    (copy-on-write: O(changed data + file count), no data copied), and
+    the same atomic pointer swap as compaction makes it live. Readers on
+    the previous version — including time-travel reads — keep seeing the
+    pre-overwrite rows; Iceberg's `overwrite` snapshot semantics."""
+    mf = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(mf):
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+        return
+
+    from glob import glob as _glob
+
+    live, live_mf = _live_dir(path)
+    version = max(
+        [int(live_mf["version"])] + list(_version_manifests(path))
+    )
+    new_rel = os.path.join("_data", f"v{version + 1}")
+    new_dir = os.path.join(path, new_rel)
+    if os.path.isdir(new_dir):
+        # aborted staging from a crashed overwrite (same number is only
+        # reusable because no manifest ever referenced it)
+        import shutil
+
+        shutil.rmtree(new_dir)
+    # stage the REPLACED partitions (plain append-shaped write into the
+    # empty staging dir; the dirs it creates define the replacement set)
+    df.write.mode("errorifexists").partitionBy(*partition_cols).parquet(new_dir)
+    replaced = {
+        os.path.relpath(os.path.dirname(f), new_dir)
+        for f in _glob(os.path.join(new_dir, "**", "*.parquet"), recursive=True)
+    }
+    # hard-link every untouched live file (same filesystem by
+    # construction: staging lives under the table root)
+    for f in _glob(os.path.join(live, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(f, live)
+        if os.path.dirname(rel) in replaced:
+            continue
+        dst = os.path.join(new_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.link(f, dst)
+    spark = df.sparkSession
+    rows = spark.read.parquet(new_dir).count()
+    _commit_snapshot(
+        path, version=version + 1, new_rel=new_rel, rows=int(rows)
     )
 
 
@@ -286,6 +337,33 @@ def read_table(spark, path: str, version: int | None = None) -> "DataFrame":
     return spark.read.parquet(os.path.join(path, retained[version]["data_dir"]))
 
 
+def rollback_table(path: str, version: int) -> int:
+    """Atomically repoint the live table to a RETAINED older snapshot —
+    Iceberg's `rollback_to_snapshot`. Pure pointer swap (same
+    write-tmp + os.replace commit as compact_partitions), so a kill at
+    any moment leaves readers on a complete snapshot, and the versions
+    rolled past stay time-travelable until expiry. The next compaction
+    commit continues from the HIGHEST retained version (never reuses a
+    rolled-past number), so history stays strictly monotonic. Returns
+    the previously-live version."""
+    retained = _version_manifests(path)
+    if version not in retained:
+        raise ValueError(
+            f"rollback_table: snapshot v{version} of {path} is not retained "
+            f"(available: {sorted(retained) or 'none — table never compacted'})"
+        )
+    _, live_mf = _live_dir(path)
+    prev = int(live_mf["version"]) if live_mf else 0
+    mf_path = os.path.join(path, MANIFEST_NAME)
+    tmp_mf = mf_path + ".tmp"
+    with open(tmp_mf, "w") as f:
+        json.dump(retained[version], f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_mf, mf_path)
+    return prev
+
+
 def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest `keep_last` retained snapshots (the live
     one is always kept) — Iceberg's `expire_snapshots` maintenance
@@ -352,7 +430,6 @@ def compact_partitions(
     import shutil
     from glob import glob as _glob
 
-    mf_path = os.path.join(path, MANIFEST_NAME)
     live, manifest = _live_dir(path)
     version = int((manifest or {}).get("version", 0))
 
@@ -374,6 +451,11 @@ def compact_partitions(
     for v, m in retained.items():
         if not os.path.isdir(os.path.join(path, m["data_dir"])):
             os.remove(os.path.join(path, f"_manifest_v{v}.json"))
+    # after a rollback the live version is older than the newest
+    # retained one — continue numbering from the highest retained
+    # version so the staging dir / manifest of a rolled-past snapshot
+    # is never overwritten
+    version = max([version] + list(_version_manifests(path)))
     if manifest is not None:
         # pre-migration loose files, superseded by the first snapshot
         # commit, are swept once a manifest governs the table
@@ -418,24 +500,51 @@ def compact_partitions(
         )
     if _crash_before_commit is not None:
         _crash_before_commit()  # test-only kill injection point
+    _commit_snapshot(
+        path,
+        version=version + 1,
+        new_rel=new_rel,
+        rows=int(src_rows),
+        plan={pv: int(n) for pv, n in plan.items()},
+        retain_versions=retain_versions,
+    )
+    return {pv: int(n) for pv, n in plan.items()}
+
+
+def _commit_snapshot(
+    path: str,
+    version: int,
+    new_rel: str,
+    rows: int,
+    plan: dict | None = None,
+    retain_versions: int = 2,
+) -> dict:
+    """Shared commit tail for snapshot writers (compaction, snapshot-
+    aware partition overwrite): write the per-version manifest (the
+    time-travel target), atomically swap the live pointer, then expire
+    history past `retain_versions`. A crash between the per-version
+    write and the pointer swap leaves a retained-but-never-live snapshot
+    that the next commit restages over; the pointer swap itself is a
+    single os.replace, so readers see entirely-old or entirely-new."""
+    from glob import glob as _glob
+
+    new_dir = os.path.join(path, new_rel)
     files = sorted(
         os.path.relpath(f, path)
         for f in _glob(os.path.join(new_dir, "**", "*.parquet"), recursive=True)
     )
     mf = {
-        "version": version + 1,
+        "version": version,
         "data_dir": new_rel,
         "files": files,
-        "rows": int(src_rows),
-        "plan": {pv: int(n) for pv, n in plan.items()},
+        "rows": int(rows),
+        "plan": plan or {},
     }
-    # per-version manifest first (time-travel target); a crash between
-    # this write and the pointer swap leaves a retained-but-never-live
-    # snapshot, which the next compaction simply restages over
-    with open(os.path.join(path, f"_manifest_v{version + 1}.json"), "w") as f:
+    with open(os.path.join(path, f"_manifest_v{version}.json"), "w") as f:
         json.dump(mf, f)
         f.flush()
         os.fsync(f.fileno())
+    mf_path = os.path.join(path, MANIFEST_NAME)
     tmp_mf = mf_path + ".tmp"
     with open(tmp_mf, "w") as f:
         json.dump(mf, f)
@@ -443,7 +552,7 @@ def compact_partitions(
         os.fsync(f.fileno())
     os.replace(tmp_mf, mf_path)  # THE commit: atomic pointer swap
     expire_snapshots(path, keep_last=max(1, retain_versions))
-    return {pv: int(n) for pv, n in plan.items()}
+    return mf
 
 
 # --------------------------------------------------- bucketed tables

@@ -375,3 +375,117 @@ def test_snapshot_time_travel_history_and_expiry(spark, tmp_path):
     sinks.compact_partitions(spark, src, partition_col="m")  # v4
     assert [h["version"] for h in sinks.table_history(src)] == [3, 4]
     assert sinks.read_table(spark, src, version=3).count() == rows
+
+
+def test_rollback_table_atomic_pointer_and_monotonic_versions(spark, tmp_path):
+    """rollback_table repoints live to a retained snapshot (Iceberg
+    rollback_to_snapshot): plain read_table follows the rollback, rolled-
+    past versions stay time-travelable, and the NEXT compaction commit
+    numbers itself past the highest retained version instead of
+    restaging over a rolled-past snapshot's directory."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from coastsat_spark.operators import sinks
+
+    src = str(tmp_path / "tbl")
+    (
+        spark.range(0, 1500, 1, 4)
+        .withColumn("m", F.lit("2024-03"))
+        .withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+        .write.partitionBy("m")
+        .parquet(src)
+    )
+    rows = spark.read.parquet(src).count()
+    for _ in range(3):
+        sinks.compact_partitions(spark, src, partition_col="m", retain_versions=4)
+
+    prev = sinks.rollback_table(src, 2)
+    assert prev == 3
+    hist = {h["version"]: h["live"] for h in sinks.table_history(src)}
+    assert hist == {1: False, 2: True, 3: False}
+    assert sinks.read_table(spark, src).count() == rows
+    # rolled-past snapshot still time-travelable until expiry
+    assert sinks.read_table(spark, src, version=3).count() == rows
+
+    # next commit continues from the highest retained version (4), and
+    # its post-commit expiry keeps the live version safe
+    sinks.compact_partitions(spark, src, partition_col="m", retain_versions=2)
+    hist = {h["version"]: h["live"] for h in sinks.table_history(src)}
+    assert hist == {3: False, 4: True}
+    assert sinks.read_table(spark, src).count() == rows
+
+    with pytest.raises(ValueError, match="not retained"):
+        sinks.rollback_table(src, 99)
+    # never-compacted table: nothing to roll back to
+    plain = str(tmp_path / "plain")
+    spark.range(10).withColumn("m", F.lit("x")).write.partitionBy("m").parquet(plain)
+    with pytest.raises(ValueError, match="never compacted"):
+        sinks.rollback_table(plain, 1)
+
+
+def test_overwrite_partitions_on_manifest_table_commits_snapshot(spark, tmp_path):
+    """On a compacted (manifest-governed) table, overwrite_partitions must
+    commit a NEW snapshot rather than writing invisibly at the root:
+    read_table sees the rewrite, the previous version time-travels to the
+    pre-overwrite rows (snapshot isolation), untouched partitions are
+    hard-linked (no data copy), and a later compaction still works."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from coastsat_spark.operators import sinks
+
+    src = str(tmp_path / "tbl")
+    base = (
+        spark.range(0, 1000, 1, 4)
+        .withColumn("m", F.when(F.col("id") % 2 == 0, "2024-01").otherwise("2024-02"))
+        .withColumn("v", F.col("id").cast("double"))
+    )
+    base.write.partitionBy("m").parquet(src)
+    sinks.compact_partitions(spark, src, partition_col="m", retain_versions=3)
+    v_before = sinks.table_history(src)[-1]["version"]
+    sum_before = (
+        sinks.read_table(spark, src).agg(F.sum("v").alias("s")).collect()[0]["s"]
+    )
+
+    # mask one partition's values and rewrite only that partition
+    jan = sinks.read_table(spark, src).filter(F.col("m") == "2024-01")
+    masked = sinks.mask_columns(jan, F.col("v") >= 0, ["v"], fill=0.0)
+    sinks.overwrite_partitions(masked, src, ["m"])
+
+    hist = sinks.table_history(src)
+    assert hist[-1]["version"] == v_before + 1 and hist[-1]["live"]
+    out = sinks.read_table(spark, src)
+    assert out.count() == 1000
+    assert out.filter(F.col("m") == "2024-01").agg(F.sum("v")).collect()[0][0] == 0.0
+    # untouched partition unchanged, and its files are hard links into
+    # the previous snapshot (copy-on-write, not a data copy)
+    feb_sum = out.filter(F.col("m") == "2024-02").agg(F.sum("v")).collect()[0][0]
+    assert feb_sum == sum((i for i in range(1000) if i % 2 == 1))
+    live_dir, live_mf = sinks._live_dir(src)
+    feb_files = [
+        os.path.join(live_dir, "m=2024-02", f)
+        for f in os.listdir(os.path.join(live_dir, "m=2024-02"))
+        if f.endswith(".parquet")
+    ]
+    assert feb_files and all(os.stat(f).st_nlink >= 2 for f in feb_files)
+
+    # snapshot isolation: the pre-overwrite version still reads the
+    # original january values
+    old = sinks.read_table(spark, src, version=v_before)
+    assert old.filter(F.col("m") == "2024-01").agg(F.sum("v")).collect()[0][0] == sum(
+        i for i in range(1000) if i % 2 == 0
+    )
+    assert old.agg(F.sum("v").alias("s")).collect()[0]["s"] == sum_before
+
+    # the table stays maintainable: a later compaction commits on top
+    sinks.compact_partitions(spark, src, partition_col="m")
+    assert sinks.read_table(spark, src).count() == 1000
+    assert (
+        sinks.read_table(spark, src)
+        .filter(F.col("m") == "2024-01")
+        .agg(F.sum("v"))
+        .collect()[0][0]
+        == 0.0
+    )
