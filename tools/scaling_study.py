@@ -66,16 +66,25 @@ all_jobs = {{"flagship": (flagship, trials), "text_extract": (text_extract, tria
 only = {only!r}
 jobs = {{k: v for k, v in all_jobs.items() if not only or k in only}}
 times = {{}}
+probes = {{}}
+from tools.noise_probe import triad_gbps
 for name, (fn, tr) in jobs.items():
     best = None
+    # ambient DRAM probe around each job: the engine idles during the
+    # sample, so a low reading here is the CO-TENANT, not self-load — a
+    # leg whose probes read deep-burst levels is contaminated evidence
+    ps = [round(triad_gbps(8_000_000), 3)]
     for _ in range(tr):
         t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
         spark.catalog.clearCache()
+        ps.append(round(triad_gbps(8_000_000), 3))
     times[name] = round(best, 3)
-print("LEG_RESULT " + json.dumps({{"cpus": cpus, "n_docs": n_docs, "times": times}}))
+    probes[name] = ps
+print("LEG_RESULT " + json.dumps({{"cpus": cpus, "n_docs": n_docs, "times": times,
+                                   "ambient_gbps": probes}}))
 spark.stop()
 """
 
@@ -126,6 +135,8 @@ def main() -> None:
             else:
                 for q, v in res["times"].items():
                     legs[cpus]["times"][q] = min(legs[cpus]["times"][q], v)
+                for q, ps in res.get("ambient_gbps", {}).items():
+                    legs[cpus].setdefault("ambient_gbps", {}).setdefault(q, []).extend(ps)
     small, big = legs[n], legs[4 * n]
     eff = {
         q: round((small["times"][q] / big["times"][q]) / 4.0, 3)
@@ -152,6 +163,11 @@ def main() -> None:
         ),
         "efficiency_per_query": eff,
         "efficiency_total": round((t_n / t_4n) / 4.0, 3),
+        # idle-engine ambient probes around each job, per leg — a leg
+        # whose min reads deep-burst (<~0.3 GB/s) is contaminated by the
+        # co-tenant and the window should be re-run, not min-merged
+        "ambient_gbps_N": small.get("ambient_gbps", {}),
+        "ambient_gbps_4N": big.get("ambient_gbps", {}),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(out_path, "w") as fh:
