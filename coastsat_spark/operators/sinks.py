@@ -352,6 +352,12 @@ def rollback_table(path: str, version: int) -> int:
             f"rollback_table: snapshot v{version} of {path} is not retained "
             f"(available: {sorted(retained) or 'none — table never compacted'})"
         )
+    if not os.path.isdir(os.path.join(path, retained[version]["data_dir"])):
+        raise ValueError(
+            f"rollback_table: snapshot v{version} of {path} is orphaned "
+            "(its data directory is gone — crashed expiry); refusing to "
+            "make it live"
+        )
     _, live_mf = _live_dir(path)
     prev = int(live_mf["version"]) if live_mf else 0
     mf_path = os.path.join(path, MANIFEST_NAME)

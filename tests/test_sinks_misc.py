@@ -489,3 +489,51 @@ def test_overwrite_partitions_on_manifest_table_commits_snapshot(spark, tmp_path
         .collect()[0][0]
         == 0.0
     )
+
+
+def test_orphan_manifest_sweep_after_crashed_expiry(spark, tmp_path):
+    """A crash between expire_snapshots' two deletes (data dir gone,
+    version manifest still present) must fail loudly on a time-travel
+    read and be swept — history restored to truth — by the next
+    compaction, with the live table unaffected throughout."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from coastsat_spark.operators import sinks
+
+    src = str(tmp_path / "tbl")
+    (
+        spark.range(0, 800, 1, 4)
+        .withColumn("m", F.lit("2024-04"))
+        .write.partitionBy("m")
+        .parquet(src)
+    )
+    rows = spark.read.parquet(src).count()
+    for _ in range(2):
+        sinks.compact_partitions(spark, src, partition_col="m", retain_versions=3)
+
+    # simulate the crash: delete v1's data directory but leave its
+    # per-version manifest behind
+    v1 = sinks._version_manifests(src)[1]
+    shutil.rmtree(os.path.join(src, v1["data_dir"]))
+    assert os.path.exists(os.path.join(src, "_manifest_v1.json"))
+
+    # loud failure, not a silent empty read
+    try:
+        sinks.read_table(spark, src, version=1).count()
+        raise AssertionError("expected a read failure on the orphaned snapshot")
+    except Exception as e:
+        assert not isinstance(e, AssertionError)
+    # and rollback refuses to make the orphan live
+    import pytest
+
+    with pytest.raises(ValueError, match="orphaned"):
+        sinks.rollback_table(src, 1)
+    assert sinks.read_table(spark, src).count() == rows  # live unaffected
+
+    # next compaction sweeps the orphan manifest; history is truthful again
+    sinks.compact_partitions(spark, src, partition_col="m", retain_versions=3)
+    assert 1 not in {h["version"] for h in sinks.table_history(src)}
+    assert sinks.read_table(spark, src).count() == rows
