@@ -124,7 +124,12 @@ def mask_columns(df: DataFrame, predicate, cols: list[str], fill=None) -> DataFr
     return out
 
 
-def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    retain_versions: int = 2,
+) -> None:
     """The in-place half of S11 at table scope: dynamic partition
     overwrite rewrites ONLY the partitions present in `df`, leaving every
     other partition's files untouched — the Spark-native equivalent of
@@ -140,7 +145,13 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
     (copy-on-write: O(changed data + file count), no data copied), and
     the same atomic pointer swap as compaction makes it live. Readers on
     the previous version — including time-travel reads — keep seeing the
-    pre-overwrite rows; Iceberg's `overwrite` snapshot semantics."""
+    pre-overwrite rows; Iceberg's `overwrite` snapshot semantics.
+    `retain_versions` bounds post-commit history exactly as on
+    compact_partitions — pass the table's usual retention so a rewrite
+    doesn't silently expire history a compaction would have kept. The
+    row count recorded in the manifest is derived from parquet footer
+    metadata of the changed partitions only (O(changed files) driver
+    reads), keeping the whole path copy-on-write-cheap."""
     mf = os.path.join(path, MANIFEST_NAME)
     if not os.path.exists(mf):
         (
@@ -151,13 +162,9 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         )
         return
 
-    from glob import glob as _glob
-
     live, live_mf = _live_dir(path)
-    version = max(
-        [int(live_mf["version"])] + list(_version_manifests(path))
-    )
-    new_rel = os.path.join("_data", f"v{version + 1}")
+    version = _next_version(path, live_mf)
+    new_rel = os.path.join("_data", f"v{version}")
     new_dir = os.path.join(path, new_rel)
     if os.path.isdir(new_dir):
         # aborted staging from a crashed overwrite (same number is only
@@ -170,22 +177,48 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
     df.write.mode("errorifexists").partitionBy(*partition_cols).parquet(new_dir)
     replaced = {
         os.path.relpath(os.path.dirname(f), new_dir)
-        for f in _glob(os.path.join(new_dir, "**", "*.parquet"), recursive=True)
+        for f in _glob_under(new_dir, "**/*.parquet")
     }
     # hard-link every untouched live file (same filesystem by
     # construction: staging lives under the table root)
-    for f in _glob(os.path.join(live, "**", "*.parquet"), recursive=True):
+    n_untouched_rows = None
+    prev_rows = int(live_mf.get("rows", -1))
+    replaced_old_rows = 0
+    for f in _glob_under(live, "**/*.parquet"):
         rel = os.path.relpath(f, live)
         if os.path.dirname(rel) in replaced:
+            replaced_old_rows += _parquet_footer_rows(f)
             continue
         dst = os.path.join(new_dir, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.link(f, dst)
-    spark = df.sparkSession
-    rows = spark.read.parquet(new_dir).count()
-    _commit_snapshot(
-        path, version=version + 1, new_rel=new_rel, rows=int(rows)
+    staged_rows = sum(
+        _parquet_footer_rows(f)
+        for f in _glob_under(new_dir, "**/*.parquet")
+        if os.path.relpath(os.path.dirname(f), new_dir) in replaced
     )
+    if prev_rows >= 0:
+        n_untouched_rows = prev_rows - replaced_old_rows
+    if n_untouched_rows is None or n_untouched_rows < 0:
+        # manifest predates row tracking — one full count as fallback
+        n_untouched_rows = (
+            df.sparkSession.read.parquet(new_dir).count() - staged_rows
+        )
+    _commit_snapshot(
+        path,
+        version=version,
+        new_rel=new_rel,
+        rows=int(n_untouched_rows + staged_rows),
+        retain_versions=retain_versions,
+    )
+
+
+def _parquet_footer_rows(f: str) -> int:
+    """Row count from a parquet file's footer metadata — a driver-side
+    metadata read, no data pages touched."""
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(f).metadata.num_rows)
 
 
 # ------------------------------------------------- S8 polygon readers
@@ -280,15 +313,34 @@ def _live_dir(path: str) -> tuple[str, dict | None]:
     return path, None
 
 
+def _glob_under(dirpath: str, pattern: str) -> list[str]:
+    """glob with the DIRECTORY prefix escaped: a table path containing
+    glob metacharacters ('[', '?', '*') must not be treated as a
+    pattern — several callers use the result to decide what to link or
+    delete, where a silently-empty match would lose data."""
+    import glob as _g
+
+    return _g.glob(
+        os.path.join(_g.escape(dirpath), pattern), recursive="**" in pattern
+    )
+
+
+def _next_version(path: str, live_mf: dict | None) -> int:
+    """Version number for the next snapshot commit: one past the highest
+    of the live version and every retained version — after a rollback
+    the live version is older than the newest retained one, and reusing
+    a rolled-past number would restage over its directory."""
+    live_v = int((live_mf or {}).get("version", 0))
+    return max([live_v] + list(_version_manifests(path))) + 1
+
+
 def _version_manifests(path: str) -> dict[int, dict]:
     """Retained per-version manifests (`_manifest_v{N}.json`), sorted by
     version. Each commit writes one alongside the live pointer; expiry
     deletes it together with its snapshot directory, so this map IS the
     set of time-travelable versions."""
-    from glob import glob as _glob
-
     out: dict[int, dict] = {}
-    for f in _glob(os.path.join(path, "_manifest_v*.json")):
+    for f in _glob_under(path, "_manifest_v*.json"):
         with open(f) as fh:
             m = json.load(fh)
         out[int(m["version"])] = m
@@ -370,26 +422,31 @@ def rollback_table(path: str, version: int) -> int:
     return prev
 
 
-def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
+def expire_snapshots(
+    path: str, keep_last: int = 2, keep_also: set[int] | None = None
+) -> list[int]:
     """Drop all but the newest `keep_last` retained snapshots (the live
-    one is always kept) — Iceberg's `expire_snapshots` maintenance
-    action. Deletes each expired version's data directory AND its
-    version manifest in that order (a crash between the two leaves an
-    orphan manifest whose dir is gone; read_table on it fails loudly and
-    the next compaction's sweep removes it). Returns the expired
-    version numbers."""
+    one is always kept; `keep_also` versions too — the commit path uses
+    it to protect the OUTGOING live snapshot, so a reader that resolved
+    the pointer just before a commit never loses its files regardless
+    of where that version sits in the numbering, e.g. after a rollback)
+    — Iceberg's `expire_snapshots` maintenance action. Deletes each
+    expired version's data directory AND its version manifest in that
+    order (a crash between the two leaves an orphan manifest whose dir
+    is gone; read_table/rollback on it fail loudly and the next
+    compaction's sweep removes it). Returns the expired versions."""
     import shutil
 
     _, live_mf = _live_dir(path)
     live_v = int(live_mf["version"]) if live_mf else -1
-    versions = sorted(_version_manifests(path))
-    keep = set(versions[-max(1, keep_last):]) | {live_v}
+    retained = _version_manifests(path)
+    versions = sorted(retained)
+    keep = set(versions[-max(1, keep_last):]) | {live_v} | (keep_also or set())
     expired = []
     for v in versions:
         if v in keep:
             continue
-        m = _version_manifests(path)[v]
-        d = os.path.join(path, m["data_dir"])
+        d = os.path.join(path, retained[v]["data_dir"])
         if os.path.isdir(d):
             shutil.rmtree(d)
         os.remove(os.path.join(path, f"_manifest_v{v}.json"))
@@ -434,10 +491,8 @@ def compact_partitions(
     {partition_value: n_files} map.
     """
     import shutil
-    from glob import glob as _glob
 
     live, manifest = _live_dir(path)
-    version = int((manifest or {}).get("version", 0))
 
     # entry sweep: version dirs referenced by neither the live pointer
     # nor a retained per-version manifest are aborted stagings (crash
@@ -449,7 +504,7 @@ def compact_partitions(
     }
     if manifest is not None:
         keep_dirs.add(os.path.abspath(live))
-    for d in _glob(os.path.join(path, "_data", "v*")):
+    for d in _glob_under(path, os.path.join("_data", "v*")):
         if os.path.abspath(d) not in keep_dirs:
             shutil.rmtree(d)
     # orphan version manifests (dir deleted by a crashed expiry) fail
@@ -457,11 +512,7 @@ def compact_partitions(
     for v, m in retained.items():
         if not os.path.isdir(os.path.join(path, m["data_dir"])):
             os.remove(os.path.join(path, f"_manifest_v{v}.json"))
-    # after a rollback the live version is older than the newest
-    # retained one — continue numbering from the highest retained
-    # version so the staging dir / manifest of a rolled-past snapshot
-    # is never overwritten
-    version = max([version] + list(_version_manifests(path)))
+    version = _next_version(path, manifest)
     if manifest is not None:
         # pre-migration loose files, superseded by the first snapshot
         # commit, are swept once a manifest governs the table
@@ -487,7 +538,7 @@ def compact_partitions(
         "_salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), nf[F.col(partition_col)]),
     )
-    new_rel = os.path.join("_data", f"v{version + 1}")
+    new_rel = os.path.join("_data", f"v{version}")
     new_dir = os.path.join(path, new_rel)
     (
         salted.repartition(F.col(partition_col), F.col("_salt"))
@@ -508,7 +559,7 @@ def compact_partitions(
         _crash_before_commit()  # test-only kill injection point
     _commit_snapshot(
         path,
-        version=version + 1,
+        version=version,
         new_rel=new_rel,
         rows=int(src_rows),
         plan={pv: int(n) for pv, n in plan.items()},
@@ -528,16 +579,19 @@ def _commit_snapshot(
     """Shared commit tail for snapshot writers (compaction, snapshot-
     aware partition overwrite): write the per-version manifest (the
     time-travel target), atomically swap the live pointer, then expire
-    history past `retain_versions`. A crash between the per-version
-    write and the pointer swap leaves a retained-but-never-live snapshot
-    that the next commit restages over; the pointer swap itself is a
-    single os.replace, so readers see entirely-old or entirely-new."""
-    from glob import glob as _glob
-
+    history past `retain_versions` — always protecting the OUTGOING
+    live version as the in-flight-reader grace copy, even when a
+    rollback has left it numerically old. Both manifest writes are
+    tmp + os.replace, so a kill at ANY point leaves each file either
+    entirely old or entirely new — never truncated JSON that would
+    brick _version_manifests. A crash between the per-version write and
+    the pointer swap leaves a retained-but-never-live snapshot in the
+    history: benign (its data was fully staged and validated) and
+    indistinguishable on disk from a rolled-past version, it simply
+    expires under normal retention."""
     new_dir = os.path.join(path, new_rel)
     files = sorted(
-        os.path.relpath(f, path)
-        for f in _glob(os.path.join(new_dir, "**", "*.parquet"), recursive=True)
+        os.path.relpath(f, path) for f in _glob_under(new_dir, "**/*.parquet")
     )
     mf = {
         "version": version,
@@ -546,10 +600,14 @@ def _commit_snapshot(
         "rows": int(rows),
         "plan": plan or {},
     }
-    with open(os.path.join(path, f"_manifest_v{version}.json"), "w") as f:
+    _, prev_mf = _live_dir(path)
+    prev_live = {int(prev_mf["version"])} if prev_mf else set()
+    vmf_path = os.path.join(path, f"_manifest_v{version}.json")
+    with open(vmf_path + ".tmp", "w") as f:
         json.dump(mf, f)
         f.flush()
         os.fsync(f.fileno())
+    os.replace(vmf_path + ".tmp", vmf_path)
     mf_path = os.path.join(path, MANIFEST_NAME)
     tmp_mf = mf_path + ".tmp"
     with open(tmp_mf, "w") as f:
@@ -557,7 +615,7 @@ def _commit_snapshot(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_mf, mf_path)  # THE commit: atomic pointer swap
-    expire_snapshots(path, keep_last=max(1, retain_versions))
+    expire_snapshots(path, keep_last=max(1, retain_versions), keep_also=prev_live)
     return mf
 
 

@@ -408,12 +408,15 @@ def test_rollback_table_atomic_pointer_and_monotonic_versions(spark, tmp_path):
     # rolled-past snapshot still time-travelable until expiry
     assert sinks.read_table(spark, src, version=3).count() == rows
 
-    # next commit continues from the highest retained version (4), and
-    # its post-commit expiry keeps the live version safe
+    # next commit continues from the highest retained version (4); its
+    # post-commit expiry keeps the newest retain_versions AND the
+    # OUTGOING live snapshot (v2, numerically old after the rollback) as
+    # the in-flight-reader grace copy — only v1 expires
     sinks.compact_partitions(spark, src, partition_col="m", retain_versions=2)
     hist = {h["version"]: h["live"] for h in sinks.table_history(src)}
-    assert hist == {3: False, 4: True}
+    assert hist == {2: False, 3: False, 4: True}
     assert sinks.read_table(spark, src).count() == rows
+    assert sinks.read_table(spark, src, version=2).count() == rows
 
     with pytest.raises(ValueError, match="not retained"):
         sinks.rollback_table(src, 99)
@@ -537,3 +540,28 @@ def test_orphan_manifest_sweep_after_crashed_expiry(spark, tmp_path):
     sinks.compact_partitions(spark, src, partition_col="m", retain_versions=3)
     assert 1 not in {h["version"] for h in sinks.table_history(src)}
     assert sinks.read_table(spark, src).count() == rows
+
+
+def test_glob_under_escapes_metacharacter_paths(tmp_path):
+    """_glob_under must treat the directory prefix literally: a table
+    path containing glob metacharacters ('[', '?', '*') silently matches
+    nothing under plain glob, and several callers (the hard-link loop,
+    the entry sweep, _version_manifests) use the result to decide what
+    to link or delete — an empty match there loses data."""
+    import glob as g
+    import os
+
+    from coastsat_spark.operators.sinks import _glob_under
+
+    root = tmp_path / "run[2024]" / "tbl"
+    (root / "m=01").mkdir(parents=True)
+    (root / "m=01" / "part-0.parquet").write_bytes(b"x")
+    (root / "_manifest_v1.json").write_text("{}")
+
+    # plain glob sees nothing (the bracket is a character class)
+    assert g.glob(os.path.join(str(root), "**", "*.parquet"), recursive=True) == []
+    hits = _glob_under(str(root), "**/*.parquet")
+    assert [os.path.basename(h) for h in hits] == ["part-0.parquet"]
+    assert [os.path.basename(h) for h in _glob_under(str(root), "_manifest_v*.json")] == [
+        "_manifest_v1.json"
+    ]
