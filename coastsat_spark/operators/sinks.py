@@ -461,6 +461,7 @@ def compact_partitions(
     target_mb: int = 128,
     retain_versions: int = 2,
     _crash_before_commit=None,
+    _crash_between_writes=None,
 ) -> dict[str, int]:
     """Bin-pack each hive partition of a parquet table into
     ceil(bytes / target_mb) files — the maintenance operator that keeps a
@@ -564,6 +565,7 @@ def compact_partitions(
         rows=int(src_rows),
         plan={pv: int(n) for pv, n in plan.items()},
         retain_versions=retain_versions,
+        _crash_between_writes=_crash_between_writes,
     )
     return {pv: int(n) for pv, n in plan.items()}
 
@@ -575,6 +577,7 @@ def _commit_snapshot(
     rows: int,
     plan: dict | None = None,
     retain_versions: int = 2,
+    _crash_between_writes=None,
 ) -> dict:
     """Shared commit tail for snapshot writers (compaction, snapshot-
     aware partition overwrite): write the per-version manifest (the
@@ -608,6 +611,8 @@ def _commit_snapshot(
         f.flush()
         os.fsync(f.fileno())
     os.replace(vmf_path + ".tmp", vmf_path)
+    if _crash_between_writes is not None:
+        _crash_between_writes()  # test-only kill injection point
     mf_path = os.path.join(path, MANIFEST_NAME)
     tmp_mf = mf_path + ".tmp"
     with open(tmp_mf, "w") as f:

@@ -565,3 +565,60 @@ def test_glob_under_escapes_metacharacter_paths(tmp_path):
     assert [os.path.basename(h) for h in _glob_under(str(root), "_manifest_v*.json")] == [
         "_manifest_v1.json"
     ]
+
+
+def test_crash_between_manifest_writes_is_benign(spark, tmp_path):
+    """Kill injection in the window BETWEEN the per-version manifest
+    write and the live-pointer swap: readers stay on the old version
+    (pointer untouched), the never-live snapshot appears in history as
+    valid data (documented semantics), and the next commit numbers past
+    it and eventually expires it under normal retention."""
+    from pyspark.sql import functions as F
+
+    from coastsat_spark.operators import sinks
+
+    src = str(tmp_path / "tbl")
+    (
+        spark.range(0, 600, 1, 4)
+        .withColumn("m", F.lit("2024-05"))
+        .write.partitionBy("m")
+        .parquet(src)
+    )
+    rows = spark.read.parquet(src).count()
+    sinks.compact_partitions(spark, src, partition_col="m", retain_versions=3)
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash():
+        raise Boom()
+
+    try:
+        sinks.compact_partitions(
+            spark, src, partition_col="m", retain_versions=3,
+            _crash_between_writes=crash,
+        )
+        raise AssertionError("injected crash did not fire")
+    except Boom:
+        pass
+
+    # live pointer untouched: readers still see v1
+    _, live_mf = sinks._live_dir(src)
+    assert int(live_mf["version"]) == 1
+    assert sinks.read_table(spark, src).count() == rows
+    # the never-live v2 is retained with fully staged, valid data
+    hist = {h["version"]: h["live"] for h in sinks.table_history(src)}
+    assert hist == {1: True, 2: False}
+    assert sinks.read_table(spark, src, version=2).count() == rows
+
+    # the next commit numbers PAST the never-live snapshot (v3) and the
+    # table keeps working; v2 expires under normal retention later
+    sinks.compact_partitions(spark, src, partition_col="m", retain_versions=3)
+    hist = {h["version"]: h["live"] for h in sinks.table_history(src)}
+    assert hist == {1: False, 2: False, 3: True}
+    assert sinks.read_table(spark, src).count() == rows
+    sinks.compact_partitions(spark, src, partition_col="m", retain_versions=1)
+    hist = {h["version"]: h["live"] for h in sinks.table_history(src)}
+    # keep_last=1 keeps the newest (4=live); the outgoing live (3) is the
+    # protected grace copy; 1 and the never-live 2 are expired
+    assert hist == {3: False, 4: True}
