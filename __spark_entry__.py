@@ -1123,9 +1123,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pure-NumPy struct parsers — compressed codecs remain the documented
     # NotImplementedError stub
     from coastsat_spark.operators.multimodal import (
+        GEOTIFF_BANDS,
         audio_frame_samples,
+        geotiff_pixels,
+        geotiff_scene_table,
         image_features,
         media_table,
+        video_frame_features,
+        video_table,
     )
 
     media = media_table(spark, 500)
@@ -1143,7 +1148,51 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 4).alias("v1"),
         F.lit(None).cast("double").alias("v2"),
     )
-    return img.unionByName(aud)
+    # geotiff leg: REAL GeoTIFF band stacks (strips/tiles, all four
+    # compressions, predictor, UTM transform) through the pure-NumPy
+    # TIFF codec and the band-stack ingest (preprocess_single analog);
+    # band rows carry a position-weighted value fingerprint, the idx=99
+    # row pins the affine corners + EPSG
+    px = geotiff_pixels(geotiff_scene_table(spark, 64))
+    stack_expr = "stack(%d, %s) as (idx, val)" % (
+        len(GEOTIFF_BANDS),
+        ", ".join(f"{i}, {b}" for i, b in enumerate(GEOTIFF_BANDS)),
+    )
+    gt_bands = (
+        px.select("scene_id", "px_row", "px_col", F.expr(stack_expr))
+        .groupBy(F.col("scene_id").alias("media_id"), "idx")
+        .agg(
+            F.sum("val").cast("double").alias("v1"),
+            F.sum(F.col("val") * (F.col("px_row") * 16 + F.col("px_col") + 1))
+            .cast("double")
+            .alias("v2"),
+        )
+        .select("media_id", F.lit("geotiff").alias("kind"), "idx", "v1", "v2")
+    )
+    gt_coords = (
+        px.groupBy(F.col("scene_id").alias("media_id"))
+        .agg(
+            (F.min("x") + F.max("y")).alias("v1"),
+            F.max("epsg").cast("double").alias("v2"),
+        )
+        .select("media_id", F.lit("geotiff").alias("kind"), F.lit(99).alias("idx"), "v1", "v2")
+    )
+    # video leg: REAL uncompressed-DIB RIFF AVI payloads, frame-sampled
+    # (every 2nd frame) to per-frame channel means — the video analog of
+    # the audio frame rows, decoded by the engine's own container parser
+    vid = video_frame_features(video_table(spark, 48), every=2).select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.col("frame_idx").alias("idx"),
+        F.round("brightness", 4).alias("v1"),
+        F.round("mean_r", 4).alias("v2"),
+    )
+    return (
+        img.unionByName(aud)
+        .unionByName(gt_bands)
+        .unionByName(gt_coords)
+        .unionByName(vid)
+    )
 
 
 # ------------------------------------------------------------ registries
@@ -1428,7 +1477,11 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n
         FROM px GROUP BY 1, 2
     """
-    from coastsat_spark.operators.multimodal import multimodal_oracle_sql
+    from coastsat_spark.operators.multimodal import (
+        geotiff_oracle_sql,
+        multimodal_oracle_sql,
+        video_oracle_sql,
+    )
     from coastsat_spark.functions.text import fingerprint_oracle_sql
     from coastsat_spark.operators.dedup import (
         minhash_assign_oracle_sql,
@@ -1463,7 +1516,14 @@ def oracle_sql() -> dict[str, str]:
         "neardup_pairs": neardup_oracle_sql(),
         "minhash_assign": minhash_assign_oracle_sql(),
         "scene_quality": scene_quality_sql,
-        "multimodal_features": multimodal_oracle_sql(500),
+        # bmp/wav legs + the geotiff band-stack ingest leg + the AVI
+        # frame-sampling leg, composed as WITH-subqueries (the
+        # generators share no CTE names)
+        "multimodal_features": (
+            f"SELECT * FROM ({multimodal_oracle_sql(500)})\n"
+            f"UNION ALL SELECT * FROM ({geotiff_oracle_sql(64)})\n"
+            f"UNION ALL SELECT * FROM ({video_oracle_sql(48)})"
+        ),
         "transect_intersections": transect_intersections_sql,
         "same_day_dedup": same_day_dedup_sql,
         "rescale_stretch": rescale_stretch_sql,

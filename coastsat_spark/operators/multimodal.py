@@ -13,9 +13,20 @@ REAL codecs (pure-NumPy struct parsing, no libraries needed):
     markers) — encode + decode;
   - PNG: 8-bit grey/RGB/RGBA/palette, all five scanline filters,
     CRC-validated (functions/png.py; DEFLATE via stdlib zlib) —
-    encode + decode.
-Progressive JPEG, 16-bit/interlaced PNG and audio codecs beyond WAV
-(MP3/...) stay honestly STUBBED with NotImplementedError.
+    encode + decode;
+  - TIFF/GeoTIFF: strips + tiles, none/LZW/Deflate/PackBits,
+    predictor 2, 8/16/32/64-bit uint/int/float samples, both byte
+    orders, GeoTIFF georeferencing (functions/tiff.py) — encode +
+    decode. This is the reference's actual scene format: CoastSat
+    ingests Landsat/Sentinel `.tif` band stacks through GDAL
+    (SDS_preprocess.py:66-200 preprocess_single); `geotiff_pixels`
+    below is that ingest re-expressed as a UDTF-shaped mapInPandas;
+  - AVI: uncompressed 24-bit DIB RIFF video (chunk-walking parser,
+    '00db' frames with BMP row conventions) — encode + decode, with
+    `video_frame_features` frame sampling.
+Progressive JPEG, 16-bit/interlaced PNG, audio codecs beyond WAV
+(MP3/...) and compressed video stay honestly STUBBED with
+NotImplementedError.
 
 A deterministic FAKE container format remains supported for tests:
   image: b"FIMG|" + w(le32) + h(le32) + c(le32) + w*h*c raw bytes
@@ -131,6 +142,16 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
 
         img = decode_png(payload)
         return img if img.ndim == 3 else img[:, :, None]
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from ..functions.tiff import decode_tiff
+
+        img = decode_tiff(payload)
+        if img.dtype != np.uint8:
+            raise NotImplementedError(
+                f"TIFF sample type {img.dtype} on the uint8 image path; "
+                "use geotiff_pixels for multi-band band stacks"
+            )
+        return img
     if payload.startswith(IMAGE_MAGIC):
         w, h, c = struct.unpack_from("<III", payload, len(IMAGE_MAGIC))
         off = len(IMAGE_MAGIC) + 12
@@ -349,6 +370,272 @@ def audio_frame_samples(media: DataFrame, frame_ms: int = 25) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ AVI (video)
+
+_AVI_STREAM = 83
+
+
+def encode_avi(frames: np.ndarray, fps: int = 5) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as an uncompressed RIFF AVI
+    ('DIB ' vids stream, 24-bit bottom-up BGR '00db' frames — the same
+    row convention as BMP). Pure struct packing."""
+    frames = np.asarray(frames)
+    n, h, w, _ = frames.shape
+    rowsize = (w * 3 + 3) & ~3
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload + (b"\x00" * (len(payload) & 1))
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    frame_bytes = []
+    for f in frames:
+        rows = np.zeros((h, rowsize), dtype=np.uint8)
+        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+        frame_bytes.append(rows.tobytes())
+    dsize = rowsize * h
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, dsize * fps, 0, 0x10, n, 0, 1, dsize, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, dsize, 0xFFFFFFFF, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, dsize, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    idx_entries = []
+    off = 4  # offsets within movi, relative to the 'movi' fourcc
+    for fb in frame_bytes:
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(fb)))
+        off += 8 + len(fb) + (len(fb) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode an uncompressed 24-bit DIB AVI to (fps, (n, h, w, 3) uint8
+    RGB). Chunk-walking parser; compressed vids streams ('00dc' with a
+    non-zero biCompression) stay NotImplementedError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF AVI container")
+    fps, w, h, bpp, comp = None, None, None, 24, 0
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps, w, h, bpp, comp
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            sz = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + sz)
+            elif cid == b"avih":
+                us_per_frame = struct.unpack_from("<I", payload, body)[0]
+                fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+            elif cid == b"strf":
+                _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, body)
+            elif cid in (b"00db", b"00dc"):
+                frames.append(payload[body : body + sz])
+            pos = body + sz + (sz & 1)
+
+    walk(12, len(payload))
+    if w is None or not frames:
+        raise NotImplementedError("AVI has no vids stream format / frames")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed DIB AVI (bpp={bpp}, comp={comp})")
+    h = abs(h)
+    rowsize = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        arr = np.frombuffer(fb, np.uint8, rowsize * h).reshape(h, rowsize)
+        out[i] = arr[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # bottom-up BGR -> RGB
+    return fps, out
+
+
+def make_avi_video(idx: int, w: int = 16, h: int = 12, n_frames: int = 8, fps: int = 5) -> bytes:
+    """Deterministic REAL AVI payload: frame pixels from the splitmix64
+    stream (sample j = ((frame*h + row)*w + col)*3 + channel), so oracles
+    can replay the CONTENT relationally like the BMP/GeoTIFF streams."""
+    px = (
+        hash_stream(np.arange(w * h * 3 * n_frames) + idx * 1_000_003, _AVI_STREAM)
+        % np.uint64(256)
+    ).astype(np.uint8)
+    return encode_avi(px.reshape(n_frames, h, w, 3), fps=fps)
+
+
+def video_table(spark, n: int = 100) -> DataFrame:
+    """Synthetic video table (media_id, payload) of REAL AVI bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [make_avi_video(i) for i in ids]}
+            )
+
+    return spark.range(0, n, numPartitions=8).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+
+
+def video_frame_features(videos: DataFrame, every: int = 2) -> DataFrame:
+    """Frame-sample video payloads: decode the AVI, keep every k-th
+    frame, emit per-frame channel means + brightness (UDTF-shaped
+    mapInPandas: one binary row -> n_frames/k feature rows — the video
+    analog of audio_frame_samples)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _fps, frames = decode_avi(bytes(payload))
+                for fi in range(0, len(frames), every):
+                    means = frames[fi].reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (
+                            int(mid), int(fi),
+                            float(means[0]), float(means[1]), float(means[2]),
+                            float(means.mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "mean_r", "mean_g", "mean_b", "brightness"],
+            )
+
+    return videos.select("media_id", "payload").mapInPandas(
+        fn,
+        schema="media_id long, frame_idx int, mean_r double, mean_g double, mean_b double, brightness double",
+    )
+
+
+def video_oracle_sql(n: int = 48, w: int = 16, h: int = 12, n_frames: int = 8, every: int = 2) -> str:
+    """DuckDB mirror of the video leg of `q_multimodal_features`: replays
+    the AVI frame CONTENT (splitmix64 stream) and the frame-sampling +
+    channel-mean math relationally — the encode_avi -> decode_avi ->
+    video_frame_features path value-checked with no binary parsing.
+    Mean/brightness replay numpy's operand order exactly as the image
+    leg does (integer sums / fixed counts, exact in doubles)."""
+    npx = w * h * 3 * n_frames
+    return f"""
+        WITH vids AS (SELECT i AS media_id FROM generate_series(0, {n - 1}) t(i)),
+        avsrc AS (SELECT media_id, j FROM vids, generate_series(0, {npx - 1}) p(j)),
+        {splitmix_hash_sql("j + media_id * 1000003", _AVI_STREAM, prefix="av")},
+        frames AS (
+          SELECT media_id, CAST(j // {w * h * 3} AS INT) AS frame_idx,
+                 avg(CASE WHEN j % 3 = 0 THEN CAST(val % 256 AS DOUBLE) END) AS m_r,
+                 avg(CASE WHEN j % 3 = 1 THEN CAST(val % 256 AS DOUBLE) END) AS m_g,
+                 avg(CASE WHEN j % 3 = 2 THEN CAST(val % 256 AS DOUBLE) END) AS m_b
+          FROM avv GROUP BY 1, 2
+        )
+        SELECT CAST(media_id AS BIGINT) AS media_id, 'video' AS kind, frame_idx AS idx,
+               round(((m_r + m_g) + m_b) / 3.0, 4) AS v1,
+               round(m_r, 4) AS v2
+        FROM frames WHERE frame_idx % {every} = 0
+    """
+
+
+# ------------------------------------------------------ GeoTIFF ingest
+
+GEOTIFF_BANDS = ["blue", "green", "red", "nir", "swir"]
+_GEOTIFF_COMPRESSIONS = ["none", "lzw", "deflate", "packbits"]
+_GEOTIFF_STREAM = 91
+_GEOTIFF_EPSG = 32630
+
+
+def make_geotiff_scene(idx: int, w: int = 16, h: int = 12) -> bytes:
+    """Deterministic REAL GeoTIFF band stack: (h, w, 5) uint16 surface-
+    reflectance-style values from the splitmix64 stream (chunky
+    interleaved, sample j = (row*w+col)*5+band), a UTM grid transform
+    derived from idx, and a compression that cycles through all four
+    codecs so the pipeline exercises each one."""
+    px = (
+        hash_stream(np.arange(w * h * len(GEOTIFF_BANDS)) + idx * 1_000_003, _GEOTIFF_STREAM)
+        % np.uint64(10000)
+    ).astype(np.uint16)
+    from ..functions.tiff import encode_geotiff
+
+    return encode_geotiff(
+        px.reshape(h, w, len(GEOTIFF_BANDS)),
+        transform=geotiff_scene_transform(idx, w, h),
+        epsg=_GEOTIFF_EPSG,
+        compression=_GEOTIFF_COMPRESSIONS[idx % 4],
+        predictor=idx % 4 in (1, 2),  # predictor only where compression gains
+    )
+
+
+def geotiff_scene_transform(idx: int, w: int = 16, h: int = 12):
+    """GDAL geotransform for scene idx: 10 m pixels on an 8x8 scene grid."""
+    x0 = 500_000.0 + (idx % 8) * w * 10.0
+    y0 = 4_100_000.0 - ((idx // 8) % 8) * h * 10.0
+    return (x0, 10.0, 0.0, y0, 0.0, -10.0)
+
+
+def geotiff_scene_table(spark, n: int = 200) -> DataFrame:
+    """Synthetic scene table (scene_id, payload) of REAL GeoTIFF bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"scene_id": ids, "payload": [make_geotiff_scene(i) for i in ids]}
+            )
+
+    return spark.range(0, n, numPartitions=8).mapInPandas(
+        gen, schema="scene_id long, payload binary"
+    )
+
+
+def geotiff_pixels(scenes: DataFrame) -> DataFrame:
+    """Band-stack ingest: GeoTIFF payloads -> per-pixel band rows with
+    world coordinates (the reference's preprocess_single,
+    SDS_preprocess.py:66-200, re-expressed as a UDTF-shaped mapInPandas:
+    one binary row -> h*w pixel rows).
+
+    World coords are pixel centers through the GeoTIFF affine:
+    x = x0 + (col+.5)*sx + (row+.5)*rx. Decode + gather is vectorized
+    NumPy per scene; the per-scene loop only walks the Arrow batch.
+    """
+    from ..functions.tiff import decode_geotiff
+
+    band_cols = ", ".join(f"{b} int" for b in GEOTIFF_BANDS)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for sid, payload in zip(pdf["scene_id"], pdf["payload"]):
+                arr, meta = decode_geotiff(bytes(payload))
+                h, w, nb = arr.shape
+                if nb != len(GEOTIFF_BANDS):
+                    raise ValueError(f"scene {sid}: {nb} bands, expected {len(GEOTIFF_BANDS)}")
+                x0, sx, rx, y0, ry, sy = meta["transform"]
+                rows = np.repeat(np.arange(h), w)
+                cols = np.tile(np.arange(w), h)
+                frame = {
+                    "scene_id": np.full(h * w, int(sid), dtype=np.int64),
+                    "px_row": rows.astype(np.int32),
+                    "px_col": cols.astype(np.int32),
+                    "x": x0 + (cols + 0.5) * sx + (rows + 0.5) * rx,
+                    "y": y0 + (cols + 0.5) * ry + (rows + 0.5) * sy,
+                    "epsg": np.full(h * w, meta["epsg"] or 0, dtype=np.int32),
+                }
+                flat = arr.reshape(h * w, nb)
+                for b, name in enumerate(GEOTIFF_BANDS):
+                    frame[name] = flat[:, b].astype(np.int32)
+                frames.append(pd.DataFrame(frame))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return scenes.select("scene_id", "payload").mapInPandas(
+        fn,
+        schema=f"scene_id long, px_row int, px_col int, x double, y double, epsg int, {band_cols}",
+    )
+
+
 # --------------------------------------------------------- DuckDB mirror
 
 # 64-bit wrap arithmetic + constants shared with the broader SQL hash
@@ -438,4 +725,50 @@ def multimodal_oracle_sql(n: int = 500) -> str:
         SELECT CAST(media_id AS BIGINT) AS media_id, kind, CAST(idx AS INT) AS idx, v1, v2 FROM img_rows
         UNION ALL
         SELECT CAST(media_id AS BIGINT) AS media_id, kind, CAST(idx AS INT) AS idx, v1, v2 FROM aud_rows
+    """
+
+
+def geotiff_oracle_sql(n: int = 64, w: int = 16, h: int = 12) -> str:
+    """DuckDB mirror of the geotiff leg of `q_multimodal_features`: the
+    GeoTIFF payloads are deterministic functions of scene_id (splitmix64
+    sample stream, idx-derived UTM transform), so the oracle replays the
+    pixel CONTENT and the ingest math relationally — an end-to-end value
+    check of encode_geotiff -> decode_geotiff -> geotiff_pixels
+    (including the four compressions + predictor the generator cycles
+    through) without any binary parsing in the oracle.
+
+    Band rows (idx 0..4): v1 = sum of band values (integer-exact in a
+    double), v2 = position-weighted sum(v * (row*w+col+1)) — catches any
+    row/col/band layout slip the plain sum would miss. Coord row
+    (idx 99): v1 = min(x)+max(y) pixel-center corners through the
+    affine, v2 = EPSG."""
+    nb = len(GEOTIFF_BANDS)
+    npx = w * h * nb
+    return f"""
+        WITH gids AS (SELECT i AS scene_id FROM generate_series(0, {n - 1}) t(i)),
+        gtsrc AS (SELECT scene_id, j FROM gids, generate_series(0, {npx - 1}) p(j)),
+        {splitmix_hash_sql("j + scene_id * 1000003", _GEOTIFF_STREAM, prefix="gt")},
+        pix AS (
+          SELECT scene_id, CAST(j % {nb} AS INT) AS bidx,
+                 CAST((j // {nb}) // {w} AS BIGINT) AS r,
+                 CAST((j // {nb}) % {w} AS BIGINT) AS c,
+                 CAST(val % 10000 AS BIGINT) AS v
+          FROM gtv
+        ),
+        band_rows AS (
+          SELECT CAST(scene_id AS BIGINT) AS media_id, 'geotiff' AS kind, bidx AS idx,
+                 CAST(sum(v) AS DOUBLE) AS v1,
+                 CAST(sum(v * (r * {w} + c + 1)) AS DOUBLE) AS v2
+          FROM pix GROUP BY 1, 2, 3
+        ),
+        coord_rows AS (
+          SELECT CAST(scene_id AS BIGINT) AS media_id, 'geotiff' AS kind, 99 AS idx,
+                 (500000.0 + (scene_id % 8) * {w * 10}.0 + 5.0)
+                   + (4100000.0 - ((scene_id // 8) % 8) * {h * 10}.0 - 5.0) AS v1,
+                 CAST({_GEOTIFF_EPSG} AS DOUBLE) AS v2
+          FROM gids
+        )
+        SELECT media_id, kind, CAST(idx AS INT) AS idx, v1, v2 FROM band_rows
+        UNION ALL
+        SELECT media_id, kind, CAST(idx AS INT) AS idx, v1, v2 FROM coord_rows
     """

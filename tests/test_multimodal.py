@@ -154,3 +154,109 @@ def test_media_table_real_formats(spark):
 
     frames = MM.audio_frame_samples(media).toPandas()
     assert (frames["rms"] > 0).all()
+
+
+# ------------------------------------------------------ GeoTIFF ingest
+
+
+def test_geotiff_scene_roundtrip():
+    """Scene payloads are real GeoTIFFs: decode recovers the exact
+    splitmix pixel stream, the idx-derived transform, and the EPSG."""
+    from coastsat_spark.functions.tiff import decode_geotiff
+    from coastsat_spark.hashing import hash_stream
+
+    for idx in range(6):  # covers all four compressions + predictor mix
+        arr, meta = decode_geotiff(MM.make_geotiff_scene(idx))
+        assert arr.shape == (12, 16, 5) and arr.dtype == np.uint16
+        exp = (
+            hash_stream(np.arange(12 * 16 * 5) + idx * 1_000_003, 91)
+            % np.uint64(10000)
+        ).astype(np.uint16).reshape(12, 16, 5)
+        assert np.array_equal(arr, exp)
+        assert meta["transform"] == pytest.approx(MM.geotiff_scene_transform(idx))
+        assert meta["epsg"] == 32630
+
+
+def test_geotiff_pixels_ingest(spark):
+    """UDTF-shaped ingest: one payload -> h*w pixel rows; band values and
+    world coords match a direct NumPy decode of the same payload."""
+    from coastsat_spark.functions.tiff import decode_geotiff
+
+    scenes = MM.geotiff_scene_table(spark, 5)
+    pdf = MM.geotiff_pixels(scenes).toPandas()
+    assert len(pdf) == 5 * 12 * 16
+    for sid in range(5):
+        sub = pdf[pdf.scene_id == sid].sort_values(["px_row", "px_col"])
+        arr, meta = decode_geotiff(MM.make_geotiff_scene(sid))
+        flat = arr.reshape(-1, 5)
+        for b, name in enumerate(MM.GEOTIFF_BANDS):
+            assert np.array_equal(sub[name].to_numpy(), flat[:, b].astype(np.int32))
+        x0 = meta["transform"][0]
+        assert sub.x.iloc[0] == pytest.approx(x0 + 5.0)
+        assert sub.y.iloc[0] == pytest.approx(meta["transform"][3] - 5.0)
+        assert (sub.epsg == 32630).all()
+
+
+def test_decode_image_bytes_tiff_dispatch():
+    """uint8 TIFFs flow through the generic image path; band stacks are
+    redirected to geotiff_pixels with a loud error."""
+    from coastsat_spark.functions.tiff import encode_tiff
+
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(MM.decode_image_bytes(encode_tiff(rgb)), rgb)
+    be = encode_tiff(rgb, big_endian=True)
+    assert np.array_equal(MM.decode_image_bytes(be), rgb)
+    u16 = encode_tiff(np.zeros((4, 4), dtype=np.uint16))
+    with pytest.raises(NotImplementedError, match="geotiff_pixels"):
+        MM.decode_image_bytes(u16)
+
+
+# -------------------------------------------------------- AVI (video)
+
+
+def test_avi_roundtrip_exact():
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (6, 9, 13, 3), dtype=np.uint8)
+    fps, out = MM.decode_avi(MM.encode_avi(frames, fps=10))
+    assert fps == 10
+    assert np.array_equal(out, frames)
+
+
+def test_avi_container_structure():
+    """The writer emits a structurally honest RIFF: declared sizes walk,
+    idx1 present, strf advertises 24-bit uncompressed."""
+    import struct
+
+    b = MM.encode_avi(np.zeros((2, 4, 4, 3), dtype=np.uint8), fps=5)
+    assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+    assert struct.unpack_from("<I", b, 4)[0] == len(b) - 8
+    assert b"idx1" in b and b"00db" in b and b"strf" in b
+
+
+def test_avi_rejects_compressed_and_foreign():
+    with pytest.raises(NotImplementedError, match="RIFF AVI"):
+        MM.decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    # flip biCompression in strf to a nonzero codec id
+    b = bytearray(MM.encode_avi(np.zeros((1, 4, 4, 3), dtype=np.uint8)))
+    off = b.index(b"strf") + 8 + 16
+    b[off : off + 4] = b"\x01\x00\x00\x00"
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        MM.decode_avi(bytes(b))
+
+
+def test_video_frame_features(spark):
+    """Frame sampling keeps every k-th frame with per-frame channel
+    means matching a direct NumPy decode."""
+    pdf = (
+        MM.video_frame_features(MM.video_table(spark, 4), every=3)
+        .toPandas()
+        .sort_values(["media_id", "frame_idx"])
+    )
+    assert sorted(pdf.frame_idx.unique()) == [0, 3, 6]
+    for mid in range(4):
+        _fps, frames = MM.decode_avi(MM.make_avi_video(mid))
+        sub = pdf[pdf.media_id == mid]
+        for _, row in sub.iterrows():
+            means = frames[int(row.frame_idx)].reshape(-1, 3).mean(axis=0)
+            assert row.mean_r == pytest.approx(means[0])
+            assert row.brightness == pytest.approx(means.mean())
