@@ -636,6 +636,27 @@ def geotiff_pixels(scenes: DataFrame) -> DataFrame:
     )
 
 
+def geotiff_shoreline_pixels(px: DataFrame, scene_month: int = 0) -> DataFrame:
+    """Adapt geotiff_pixels rows to the shoreline pixel-aggregate schema
+    (aggregate_pixels output: tile, scene_month, px_row, px_col, band
+    means, n_docs, cloud_frac) so REAL .tif band stacks can drive
+    extract_shorelines directly — the reference's tif -> preprocess ->
+    threshold -> contour flow (SDS_shoreline.py:86-240) running on file
+    bytes instead of the synthetic webtext observations. Each GeoTIFF
+    scene becomes one (tile, scene_month) group; a single decoded file
+    has exactly one observation per pixel and no cloud mask band in this
+    container, hence n_docs=1, cloud_frac=0."""
+    return px.select(
+        F.col("scene_id").alias("tile"),
+        F.lit(scene_month).cast("long").alias("scene_month"),
+        "px_row",
+        "px_col",
+        *[F.col(b).cast("double").alias(b) for b in GEOTIFF_BANDS],
+        F.lit(1).cast("long").alias("n_docs"),
+        F.lit(0.0).alias("cloud_frac"),
+    )
+
+
 # --------------------------------------------------------- DuckDB mirror
 
 # 64-bit wrap arithmetic + constants shared with the broader SQL hash

@@ -260,3 +260,59 @@ def test_video_frame_features(spark):
             means = frames[int(row.frame_idx)].reshape(-1, 3).mean(axis=0)
             assert row.mean_r == pytest.approx(means[0])
             assert row.brightness == pytest.approx(means.mean())
+
+
+def test_geotiff_drives_shoreline_extraction(spark):
+    """End-to-end reference flow on file bytes: a coastal GeoTIFF (land
+    left / water right, sharp step at col 8) -> geotiff_pixels ->
+    geotiff_shoreline_pixels -> extract_shorelines finds the vertical
+    shoreline between cols 7 and 8, and the distributed result equals
+    the NumPy kernel run directly on the decoded array."""
+    import pandas as pd
+
+    from coastsat_spark.functions.tiff import encode_geotiff
+    from coastsat_spark.operators.raster import (
+        ShorelineSettings,
+        extract_shorelines,
+        scene_extract_pdf,
+    )
+
+    g = 16
+    arr = np.zeros((g, g, 5), dtype=np.uint16)
+    land = np.s_[:, :8]
+    water = np.s_[:, 8:]
+    arr[..., 1][land], arr[..., 4][land] = 100, 180   # green/swir: mndwi +0.29
+    arr[..., 1][water], arr[..., 4][water] = 150, 40  # mndwi -0.58
+    arr[..., 0] = arr[..., 2] = arr[..., 3] = 50
+    payload = encode_geotiff(
+        arr, transform=(0.0, 10.0, 0.0, 0.0, 0.0, -10.0), epsg=32630, compression="lzw"
+    )
+    scenes = spark.createDataFrame([(3, bytearray(payload))], "scene_id long, payload binary")
+    pixels = MM.geotiff_shoreline_pixels(MM.geotiff_pixels(scenes))
+    s = ShorelineSettings(grid_log2=4)
+    out = extract_shorelines(pixels, s).toPandas().sort_values(
+        ["contour_id", "point_idx"]
+    ).reset_index(drop=True)
+
+    assert len(out) >= g  # one crossing per row of the grid
+    assert ((out.px_x > 7.0) & (out.px_x < 8.0)).all()
+    assert (out.tile == 3).all()
+
+    # parity: same kernel, driven directly with the decoded array
+    rows, cols = np.divmod(np.arange(g * g), g)
+    pdf = pd.DataFrame(
+        {
+            "tile": 3,
+            "scene_month": 0,
+            "px_row": rows,
+            "px_col": cols,
+            "green": arr[rows, cols, 1].astype(float),
+            "swir": arr[rows, cols, 4].astype(float),
+            "n_docs": 1,
+            "cloud_frac": 0.0,
+        }
+    )
+    exp = scene_extract_pdf(pdf, s).sort_values(
+        ["contour_id", "point_idx"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
