@@ -18,9 +18,11 @@ Scope (decode):
   - GeoTIFF georeferencing: ModelPixelScale (33550) + ModelTiepoint
     (33922) or ModelTransformation (34264), GeoKeyDirectory (34735)
     EPSG extraction, GeoAsciiParams (34737).
-BigTIFF (magic 43), predictor 3 (floating-point differencing) and
-exotic photometrics (YCbCr / CMYK / CIELab) raise NotImplementedError
-loudly.
+BigTIFF (magic 43: 16-byte header, u64 offsets, 20-byte IFD entries,
+LONG8/SLONG8/IFD8 types) decodes and encodes (opt-in `bigtiff=True`)
+with the same tag semantics.  Predictor 3 (floating-point
+differencing) and exotic photometrics (YCbCr / CMYK / CIELab) raise
+NotImplementedError loudly.
 
 Encode writes chunky strips or tiles with any of the four compressions,
 optional predictor 2, and the GeoTIFF tags from a GDAL-style
@@ -193,8 +195,14 @@ def packbits_decode(data: bytes) -> bytes:
 
 # ------------------------------------------------------------ TIFF core
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_NP = {1: "u1", 3: "u2", 4: "u4", 6: "i1", 8: "i2", 9: "i4", 11: "f4", 12: "f8"}
+_TYPE_SIZE = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8,
+    16: 8, 17: 8, 18: 8,  # BigTIFF LONG8 / SLONG8 / IFD8
+}
+_TYPE_NP = {
+    1: "u1", 3: "u2", 4: "u4", 6: "i1", 8: "i2", 9: "i4", 11: "f4", 12: "f8",
+    16: "u8", 17: "i8", 18: "u8",
+}
 
 _COMP_NONE, _COMP_LZW, _COMP_DEFLATE_ADOBE, _COMP_PACKBITS, _COMP_DEFLATE = 1, 5, 8, 32773, 32946
 _COMP_BY_NAME = {
@@ -222,20 +230,36 @@ def _read_tags(payload: bytes) -> tuple[str, dict[int, np.ndarray]]:
         raise ValueError("not a TIFF (bad byte-order mark)")
     magic = struct.unpack_from(bo + "H", payload, 2)[0]
     if magic == 43:
-        raise NotImplementedError("BigTIFF (magic 43)")
-    if magic != 42:
+        # BigTIFF: 16-byte header (offset size 8, pad 0, u64 IFD
+        # offset); 20-byte IFD entries with u64 counts, 8-byte inline
+        # values, u64 overflow offsets.
+        osize, pad = struct.unpack_from(bo + "HH", payload, 4)
+        if osize != 8 or pad != 0:
+            raise ValueError(f"BigTIFF header (offset size {osize}, pad {pad})")
+        ifd_off = struct.unpack_from(bo + "Q", payload, 8)[0]
+        n_entries = struct.unpack_from(bo + "Q", payload, ifd_off)[0]
+        entry0, stride, inline = ifd_off + 8, 20, 8
+    elif magic == 42:
+        ifd_off = struct.unpack_from(bo + "I", payload, 4)[0]
+        n_entries = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+        entry0, stride, inline = ifd_off + 2, 12, 4
+    else:
         raise ValueError(f"not a TIFF (magic {magic})")
-    ifd_off = struct.unpack_from(bo + "I", payload, 4)[0]
-    n_entries = struct.unpack_from(bo + "H", payload, ifd_off)[0]
     tags: dict[int, np.ndarray] = {}
     for i in range(n_entries):
-        off = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack_from(bo + "HHI", payload, off)
+        off = entry0 + stride * i
+        tag, typ = struct.unpack_from(bo + "HH", payload, off)
+        count = struct.unpack_from(bo + ("Q" if inline == 8 else "I"), payload, off + 4)[0]
         size = _TYPE_SIZE.get(typ)
         if size is None:
             continue
         nbytes = size * count
-        src = off + 8 if nbytes <= 4 else struct.unpack_from(bo + "I", payload, off + 8)[0]
+        val_off = off + stride - inline
+        src = (
+            val_off
+            if nbytes <= inline
+            else struct.unpack_from(bo + ("Q" if inline == 8 else "I"), payload, val_off)[0]
+        )
         if typ == 2:
             tags[tag] = np.frombuffer(payload, "S1", count, src)
         elif typ in (5, 10):  # RATIONAL: keep as float ratio
@@ -399,6 +423,7 @@ def encode_geotiff(
     rows_per_strip: int | None = None,
     tile: tuple[int, int] | None = None,
     big_endian: bool = False,
+    bigtiff: bool = False,
 ) -> bytes:
     """Encode (h, w) or (h, w, bands) as a chunky TIFF/GeoTIFF.
 
@@ -407,6 +432,10 @@ def encode_geotiff(
     PixelScale+Tiepoint tag pair this writes.  epsg lands in a GeoKey
     directory as Projected (>=10000 heuristic: 2048 geographic else
     3072 projected).
+
+    bigtiff=True writes the BigTIFF (magic 43) layout — 16-byte header,
+    u64 IFD offset, 20-byte entries with LONG8 segment offsets/counts —
+    the format real >4 GiB Landsat mosaics ship in; same tag semantics.
     """
     comp = _COMP_BY_NAME.get(compression)
     if comp is None:
@@ -457,8 +486,12 @@ def encode_geotiff(
         for y0 in range(0, h, th):
             segs.append(pack_seg(data[y0 : min(y0 + th, h)]))
 
-    # ---- layout: header(8) | segment data | overflow values | IFD
-    header_size = 8
+    # ---- layout: header (8 classic / 16 bigtiff) | segment data |
+    #      overflow values | IFD
+    header_size = 16 if bigtiff else 8
+    # segment offsets/counts: LONG in classic, LONG8 in BigTIFF
+    off_typ = 16 if bigtiff else 4
+    inline = 8 if bigtiff else 4
     seg_offsets: list[int] = []
     pos = header_size
     for s in segs:
@@ -484,10 +517,10 @@ def encode_geotiff(
     add(259, 3, [comp])
     add(262, 3, [2 if (spp == 3 and dt_key == "u1") else 1])
     if tile is None:
-        add(273, 4, seg_offsets)
+        add(273, off_typ, seg_offsets)
         add(277, 3, [spp])
         add(278, 4, [th])
-        add(279, 4, [len(s) for s in segs])
+        add(279, off_typ, [len(s) for s in segs])
     else:
         add(277, 3, [spp])
     add(284, 3, [1])
@@ -496,8 +529,8 @@ def encode_geotiff(
     if tile is not None:
         add(322, 4, [tile[0]])
         add(323, 4, [tile[1]])
-        add(324, 4, seg_offsets)
-        add(325, 4, [len(s) for s in segs])
+        add(324, off_typ, seg_offsets)
+        add(325, off_typ, [len(s) for s in segs])
     add(339, 3, [sf] * spp)
     if transform is not None:
         x0, sx, rx, y0, ry, nsy = transform
@@ -514,24 +547,40 @@ def encode_geotiff(
                        cs_key, 0, 1, epsg])
 
     entries.sort(key=lambda e: e[0])
+    off_fmt = "Q" if bigtiff else "I"
+    cnt_fmt = "Q" if bigtiff else "I"
     overflow = bytearray()
     overflow_base = pos
     packed_entries = []
     for tag, typ, count, data_b in entries:
-        if len(data_b) <= 4:
-            val = data_b + b"\x00" * (4 - len(data_b))
+        if len(data_b) <= inline:
+            val = data_b + b"\x00" * (inline - len(data_b))
         else:
             if (overflow_base + len(overflow)) & 1:
                 overflow += b"\x00"
-            val = struct.pack(bo + "I", overflow_base + len(overflow))
+            val = struct.pack(bo + off_fmt, overflow_base + len(overflow))
             overflow += data_b
-        packed_entries.append(struct.pack(bo + "HHI", tag, typ, count) + val)
+        packed_entries.append(struct.pack(bo + "HH" + cnt_fmt, tag, typ, count) + val)
     ifd_off = overflow_base + len(overflow)
     ifd_off += ifd_off & 1
-    ifd = struct.pack(bo + "H", len(packed_entries)) + b"".join(packed_entries) + struct.pack(bo + "I", 0)
+    if bigtiff:
+        ifd = (
+            struct.pack(bo + "Q", len(packed_entries))
+            + b"".join(packed_entries)
+            + struct.pack(bo + "Q", 0)
+        )
+    else:
+        ifd = (
+            struct.pack(bo + "H", len(packed_entries))
+            + b"".join(packed_entries)
+            + struct.pack(bo + "I", 0)
+        )
 
     out = bytearray()
-    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, ifd_off)
+    if bigtiff:
+        out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HHHQ", 43, 8, 0, ifd_off)
+    else:
+        out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, ifd_off)
     for s, off in zip(segs, seg_offsets):
         out += b"\x00" * (off - len(out))
         out += s

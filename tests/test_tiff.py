@@ -249,9 +249,27 @@ def test_planar_configuration_2_decode():
 # ---------------------------------------------------------- error edges
 
 
-def test_bigtiff_rejected():
-    with pytest.raises(NotImplementedError, match="BigTIFF"):
-        tf.decode_tiff(b"II" + struct.pack("<HI", 43, 8) + b"\x00" * 16)
+def test_bigtiff_roundtrip():
+    # BigTIFF layout: 16-byte header, u64 IFD offset, 20-byte entries,
+    # LONG8 segment offsets — exact roundtrip incl. geo tags, both
+    # byte orders, strips and tiles.
+    img = _img("u2", (20, 30, 5), seed=8)
+    gt = (500000.0, 10.0, 0.0, 4100000.0, 0.0, -10.0)
+    for be, tile in [(False, None), (True, None), (False, (16, 16))]:
+        b = tf.encode_geotiff(
+            img, transform=gt, epsg=32630, compression="lzw",
+            predictor=True, tile=tile, big_endian=be, bigtiff=True,
+        )
+        assert struct.unpack_from(("<" if not be else ">") + "H", b, 2)[0] == 43
+        arr, meta = tf.decode_geotiff(b)
+        assert np.array_equal(arr, img)
+        assert meta["transform"] == pytest.approx(gt)
+        assert meta["epsg"] == 32630
+
+
+def test_bigtiff_bad_offset_size_rejected():
+    with pytest.raises(ValueError, match="BigTIFF header"):
+        tf.decode_tiff(b"II" + struct.pack("<HHHQ", 43, 4, 0, 16) + b"\x00" * 16)
 
 
 def test_not_a_tiff():
