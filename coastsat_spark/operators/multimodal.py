@@ -599,6 +599,14 @@ def geotiff_pixels(scenes: DataFrame) -> DataFrame:
     World coords are pixel centers through the GeoTIFF affine:
     x = x0 + (col+.5)*sx + (row+.5)*rx. Decode + gather is vectorized
     NumPy per scene; the per-scene loop only walks the Arrow batch.
+
+    Scale contract: one payload fans out to h*w rows, so peak task
+    memory is ONE decoded scene (+ its pixel frame), not the whole
+    Arrow batch — each scene's frame is yielded separately and Spark
+    streams them out as independent batches. At real scene sizes
+    (~10^8 px) partition the scene table to ~1 scene per task
+    (repartition(n_scenes)) so the decode bound is per-task, and size
+    executors for one scene in flight.
     """
     from ..functions.tiff import decode_geotiff
 
@@ -606,7 +614,6 @@ def geotiff_pixels(scenes: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = []
             for sid, payload in zip(pdf["scene_id"], pdf["payload"]):
                 arr, meta = decode_geotiff(bytes(payload))
                 h, w, nb = arr.shape
@@ -626,9 +633,7 @@ def geotiff_pixels(scenes: DataFrame) -> DataFrame:
                 flat = arr.reshape(h * w, nb)
                 for b, name in enumerate(GEOTIFF_BANDS):
                     frame[name] = flat[:, b].astype(np.int32)
-                frames.append(pd.DataFrame(frame))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                yield pd.DataFrame(frame)
 
     return scenes.select("scene_id", "payload").mapInPandas(
         fn,
