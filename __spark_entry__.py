@@ -1158,22 +1158,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(GEOTIFF_BANDS),
         ", ".join(f"{i}, {b}" for i, b in enumerate(GEOTIFF_BANDS)),
     )
-    gt_bands = (
-        px.select("scene_id", "px_row", "px_col", F.expr(stack_expr))
-        .groupBy(F.col("scene_id").alias("media_id"), "idx")
+    # one aggregate pass over the decoded pixels carries BOTH the band
+    # fingerprints and the coord/epsg extrema; the idx=99 coord row then
+    # derives from the tiny (scenes x bands)-row aggregate, persisted so
+    # the two union legs decode the 64 scenes ONCE (exchange reuse does
+    # not fire across mapInPandas branches — PythonUDF subtrees don't
+    # canonicalize equal, verified on the executed AQE plan)
+    gt_base = (
+        px.select(
+            F.col("scene_id").alias("media_id"), "px_row", "px_col", "x", "y", "epsg",
+            F.expr(stack_expr),
+        )
+        .groupBy("media_id", "idx")
         .agg(
             F.sum("val").cast("double").alias("v1"),
             F.sum(F.col("val") * (F.col("px_row") * 16 + F.col("px_col") + 1))
             .cast("double")
             .alias("v2"),
+            F.min("x").alias("mnx"),
+            F.max("y").alias("mxy"),
+            F.max("epsg").alias("ep"),
         )
-        .select("media_id", F.lit("geotiff").alias("kind"), "idx", "v1", "v2")
+        .persist()
     )
+    gt_bands = gt_base.select("media_id", F.lit("geotiff").alias("kind"), "idx", "v1", "v2")
     gt_coords = (
-        px.groupBy(F.col("scene_id").alias("media_id"))
+        gt_base.groupBy("media_id")
         .agg(
-            (F.min("x") + F.max("y")).alias("v1"),
-            F.max("epsg").cast("double").alias("v2"),
+            (F.min("mnx") + F.max("mxy")).alias("v1"),
+            F.max("ep").cast("double").alias("v2"),
         )
         .select("media_id", F.lit("geotiff").alias("kind"), F.lit(99).alias("idx"), "v1", "v2")
     )
