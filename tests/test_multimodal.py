@@ -316,3 +316,23 @@ def test_geotiff_drives_shoreline_extraction(spark):
         ["contour_id", "point_idx"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_avi_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=6),
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        fps=st.integers(min_value=1, max_value=60),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def inner(n, h, w, fps, seed):
+        frames = np.random.default_rng(seed).integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        got_fps, out = MM.decode_avi(MM.encode_avi(frames, fps=fps))
+        assert got_fps == fps and np.array_equal(out, frames)
+
+    inner()

@@ -309,3 +309,45 @@ def test_truncated_segment_detected():
     struct.pack_into("<I", b, cnt_off, 10)
     with pytest.raises(ValueError, match="expected"):
         tf.decode_tiff(bytes(b))
+
+
+# ----------------------------------------------------- property fuzzing
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    dt=st.sampled_from(["u1", "u2", "u4", "i1", "i2", "i4", "f4", "f8"]),
+    comp=st.sampled_from(["none", "lzw", "deflate", "packbits"]),
+    pred=st.booleans(),
+    be=st.booleans(),
+    bigtiff=st.booleans(),
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    bands=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_roundtrip_property(dt, comp, pred, be, bigtiff, h, w, bands, seed):
+    if pred and dt in ("f4", "f8"):
+        pred = False
+    img = _img(dt, (h, w, bands), seed=seed)
+    out = tf.decode_tiff(
+        tf.encode_tiff(
+            img, compression=comp, predictor=pred, big_endian=be, bigtiff=bigtiff
+        )
+    )
+    assert out.shape == img.shape and np.array_equal(out, img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=20_000))
+def test_lzw_roundtrip_property(data):
+    assert tf.lzw_decode(tf.lzw_encode(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=20_000))
+def test_packbits_roundtrip_property(data):
+    assert tf.packbits_decode(tf.packbits_encode(data)) == data
