@@ -24,9 +24,9 @@ REAL codecs (pure-NumPy struct parsing, no libraries needed):
   - AVI: uncompressed 24-bit DIB RIFF video (chunk-walking parser,
     '00db' frames with BMP row conventions) — encode + decode, with
     `video_frame_features` frame sampling.
-Progressive JPEG, 16-bit/interlaced PNG, audio codecs beyond WAV
-(MP3/...) and compressed video stay honestly STUBBED with
-NotImplementedError.
+PNG covers bit depths 1-16 and Adam7 interlacing (functions/png.py).
+Progressive JPEG, audio codecs beyond WAV (MP3/...) and compressed
+video stay honestly STUBBED with NotImplementedError.
 
 A deterministic FAKE container format remains supported for tests:
   image: b"FIMG|" + w(le32) + h(le32) + c(le32) + w*h*c raw bytes
@@ -125,9 +125,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 def decode_image_bytes(payload: bytes) -> np.ndarray:
     """Decode an image payload to (h, w, c) uint8: real BMP, baseline
-    JPEG and PNG parsing, the FIMG fake container for tests; codec
-    variants beyond those (progressive JPEG, 16-bit/interlaced PNG,
-    ...) are intentionally unimplemented in this environment."""
+    JPEG and PNG parsing (all PNG depths/interlace; 16-bit samples are
+    downshifted to the top byte to keep the uint8 contract), the FIMG
+    fake container for tests; codec variants beyond those (progressive
+    JPEG, ...) are intentionally unimplemented in this environment."""
     if payload is None:
         return None
     if payload.startswith(b"BM"):
@@ -141,6 +142,8 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         from ..functions.png import decode_png
 
         img = decode_png(payload)
+        if img.dtype == np.uint16:
+            img = (img >> 8).astype(np.uint8)
         return img if img.ndim == 3 else img[:, :, None]
     if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         from ..functions.tiff import decode_tiff

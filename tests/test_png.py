@@ -121,22 +121,117 @@ def test_crc_corruption_and_unsupported_fail_loudly():
     data[50] ^= 0xFF  # flip a byte inside a chunk body
     with pytest.raises(ValueError, match="CRC"):
         png.decode_png(bytes(data))
-    # 16-bit depth rejected
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    data16 = (
-        b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr) + png._chunk(b"IEND", b"")
+    # invalid depth rejected
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr) + png._chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="depth"):
+        png.decode_png(bad)
+    # 16-bit palette is spec-invalid
+    ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    bad16p = (
+        b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr16p) + png._chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        png.decode_png(data16)
-    # interlace rejected
-    ihdr7 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    data7 = (
-        b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr7) + png._chunk(b"IEND", b"")
-    )
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        png.decode_png(data7)
+    with pytest.raises(ValueError, match="palette"):
+        png.decode_png(bad16p)
     with pytest.raises(ValueError, match="signature"):
         png.decode_png(b"\x89PNH" + b"\x00" * 20)
+
+
+def test_roundtrip_16bit_exact():
+    """uint16 input writes depth-16 PNG; decode returns uint16 with the
+    exact big-endian sample values, for grey / RGB / RGBA."""
+    rng = np.random.default_rng(11)
+    for c in (None, 3, 4):
+        shape = (9, 13) if c is None else (9, 13, c)
+        img = rng.integers(0, 65536, shape, dtype=np.uint16)
+        out = png.decode_png(png.encode_png(img))
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, img), c
+
+
+def test_roundtrip_adam7_exact():
+    """Adam7 interlaced roundtrips bit-exactly, including sizes below
+    8 px where several passes are empty, for 8- and 16-bit depths."""
+    rng = np.random.default_rng(12)
+    for h, w in [(1, 1), (2, 2), (3, 5), (7, 7), (8, 8), (9, 31), (16, 17)]:
+        img8 = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out8 = png.decode_png(png.encode_png(img8, interlace=True))
+        assert np.array_equal(out8, img8), (h, w, 8)
+        img16 = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+        out16 = png.decode_png(png.encode_png(img16, interlace=True))
+        assert np.array_equal(out16, img16), (h, w, 16)
+    # interlaced stream really differs from sequential (same pixels)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    assert png.encode_png(img, interlace=True) != png.encode_png(img)
+
+
+def _hand_png_depth(w, h, depth, ctype, scanlines, extra=b""):
+    """Assemble a PNG with the given bit depth from pre-packed rows
+    (each scanline = filter byte + packed payload)."""
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + png._chunk(b"IHDR", ihdr)
+        + extra
+        + png._chunk(b"IDAT", zlib.compress(scanlines))
+        + png._chunk(b"IEND", b"")
+    )
+
+
+def test_sub8bit_grey_decode_scales_to_full_range():
+    """1-bit grey: packed MSB-first, scaled 0/255. 4-bit: 0..15 -> x*17."""
+    # 1-bit, w=10: bits 1010101011 -> padded to 2 bytes 0b10101010 0b11000000
+    row = bytes([0]) + bytes([0b10101010, 0b11000000])
+    out = png.decode_png(_hand_png_depth(10, 1, 1, 0, row))
+    assert out.shape == (1, 10)
+    assert np.array_equal(out[0], [255, 0] * 4 + [255, 255])
+    # 4-bit, w=3: samples 15, 7, 1 -> bytes 0xF7 0x10
+    row4 = bytes([0]) + bytes([0xF7, 0x10])
+    out4 = png.decode_png(_hand_png_depth(3, 1, 4, 0, row4))
+    assert np.array_equal(out4[0], [255, 119, 17])
+
+
+def test_sub8bit_palette_decode():
+    """2-bit palette indexes unpack MSB-first and look up PLTE."""
+    pal = np.array([[10, 0, 0], [0, 20, 0], [0, 0, 30], [40, 40, 40]], np.uint8)
+    # w=5 indexes 3,0,1,2,3 -> bits 11 00 01 10 11 -> bytes 0b11000110 0b11000000
+    row = bytes([0]) + bytes([0b11000110, 0b11000000])
+    data = _hand_png_depth(5, 1, 2, 3, row, extra=png._chunk(b"PLTE", pal.tobytes()))
+    out = png.decode_png(data)
+    assert out.shape == (1, 5, 3)
+    assert np.array_equal(out[0], pal[[3, 0, 1, 2, 3]])
+    # out-of-range palette index fails loudly
+    row_bad = bytes([0]) + bytes([0b11111111, 0b11000000])
+    pal2 = pal[:2]
+    bad = _hand_png_depth(5, 1, 2, 3, row_bad, extra=png._chunk(b"PLTE", pal2.tobytes()))
+    with pytest.raises(ValueError, match="palette index"):
+        png.decode_png(bad)
+
+
+def test_adam7_hand_built_pass_placement():
+    """Hand-assemble a 8x8 1-channel Adam7 stream with filter 0
+    everywhere and distinct per-pass values; decode must place each
+    pass's pixels at the spec grid positions."""
+    vals = {1: 10, 2: 20, 3: 30, 4: 40, 5: 50, 6: 60, 7: 70}
+    dims = [(1, 1), (1, 1), (2, 1), (2, 2), (4, 2), (4, 4), (8, 4)]  # (pw, ph)
+    stream = b""
+    for p, (pw, ph) in enumerate(dims, start=1):
+        for _ in range(ph):
+            stream += bytes([0]) + bytes([vals[p]] * pw)
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"IDAT", zlib.compress(stream))
+        + png._chunk(b"IEND", b"")
+    )
+    out = png.decode_png(data)
+    expect = np.zeros((8, 8), np.uint8)
+    for val, (x0, y0, dx, dy) in zip(
+        [10, 20, 30, 40, 50, 60, 70], png._ADAM7
+    ):
+        expect[y0::dy, x0::dx] = val
+    assert np.array_equal(out, expect)
 
 
 def test_multimodal_dispatch_decodes_png():
