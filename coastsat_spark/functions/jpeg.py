@@ -8,12 +8,17 @@ code construction, byte unstuffing, restart markers, differential DC,
 zigzag, dequantization, float IDCT, chroma upsampling and BT.601
 YCbCr<->RGB. Scope (and honest limits):
 
-  decode: baseline sequential (SOF0), 8-bit, grayscale / 4:4:4 /
-          4:2:0 / 4:2:2-style factors up to 2x2, DRI/RSTn supported.
-          Progressive (SOF2), arithmetic coding, 12-bit: loud
-          NotImplementedError.
+  decode: baseline sequential (SOF0) AND progressive (SOF2, spectral
+          selection + successive approximation, DC/AC first and
+          refinement scans, EOB runs, per-scan restart intervals),
+          8-bit, grayscale / 4:4:4 / 4:2:0 / 4:2:2-style factors up
+          to 2x2. Arithmetic coding, 12-bit: loud NotImplementedError.
   encode: grayscale / 4:4:4 / 4:2:0, libjpeg-style quality scaling of
-          the Annex-K tables, optional restart interval.
+          the Annex-K tables, optional restart interval (baseline);
+          progressive=True writes a DC-first/DC-refine/AC-first/
+          AC-refine scan script (EOB runs of 1, so the Annex-K AC
+          tables suffice — EOBn>0 symbols are exercised by
+          hand-assembled streams in the tests).
 
 Verification strategy (no reference codec exists in this container):
 the DCT pair is pinned against a literal O(N^4) DCT-II definition
@@ -242,11 +247,17 @@ def encode_jpeg(
     quality: int = 85,
     subsample: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as baseline JPEG.
 
     `subsample`: '444' (no chroma subsampling) or '420' (2x2 mean).
-    `restart_interval`: MCUs between RSTn markers (0 = none).
+    `restart_interval`: MCUs between RSTn markers (0 = none, baseline
+    only). `progressive=True` writes SOF2 with the scan script
+    DC-first(Al=1) / DC-refine / per-component AC-first(1..63, Al=1) /
+    per-component AC-refine — successive approximation one bit deep,
+    which exercises every progressive decode path with the Annex-K
+    tables (EOB runs are kept at 1; EOBn symbols are not in Annex K).
     """
     img = np.asarray(img)
     gray = img.ndim == 2
@@ -301,6 +312,18 @@ def encode_jpeg(
         dc_codes.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
         ac_codes.append(_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
     tsel = [0] + [1] * (len(planes) - 1)
+
+    if progressive:
+        if restart_interval:
+            raise NotImplementedError("restart markers with progressive encode")
+        plane_dims = [p.shape for p in planes]
+        scans = _encode_progressive_scans(
+            comp_blocks, plane_dims, samp, dc_codes, ac_codes, tsel,
+            mcus_x, mcus_y,
+        )
+        return _assemble_jpeg(
+            h, w, gray, qy, qc, samp, tsel, 0, scans, progressive=True
+        )
 
     bw = _BitWriter()
     pred = [0] * len(planes)
@@ -406,19 +429,216 @@ def _edge_pad_to(a: np.ndarray, th: int, tw: int) -> np.ndarray:
     ) if (a.shape[0] != th or a.shape[1] != tw) else a
 
 
+# ------------------------------------------------- progressive encoding
+
+
+def _put_amp(bw: _BitWriter, v: int, s: int) -> None:
+    bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _trunc_half(v: int) -> int:
+    """AC point transform for Al=1: divide by 2 toward zero (G.1.2.3)."""
+    return v >> 1 if v >= 0 else -((-v) >> 1)
+
+
+def _encode_progressive_scans(
+    comp_blocks, plane_dims, samp, dc_codes, ac_codes, tsel, mcus_x, mcus_y
+):
+    """Build the fixed scan script DC-first(Al=1) / DC-refine /
+    per-component AC-first(1..63, Al=1) / per-component AC-refine.
+
+    Returns a list of (comp_indices, ss, se, ah, al, is_dc, bytes)
+    consumed by _assemble_jpeg. Block orders mirror the decoder exactly:
+    DC scans walk the interleaved MCU grid (padded blocks included),
+    AC scans walk each component's true cw x ch block grid row-major.
+    """
+    ncomp = len(comp_blocks)
+    zz = ZIGZAG
+    scans = []
+
+    def dc_scan(refine: bool) -> bytes:
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = int(
+                                comp_blocks[ci][my * sv + by, mx * sh + bx]
+                                .reshape(64)[0]
+                            )
+                            if refine:
+                                bw.put(dc & 1, 1)
+                                continue
+                            d = dc >> 1  # arithmetic shift (G.1.2.1)
+                            diff = d - pred[ci]
+                            pred[ci] = d
+                            s = _csize(diff)
+                            c, ln = dc_codes[tsel[ci]][s]
+                            bw.put(c, ln)
+                            if s:
+                                _put_amp(bw, diff, s)
+        bw.pad_to_byte()
+        return bytes(bw.out)
+
+    scans.append((list(range(ncomp)), 0, 0, 0, 1, True, dc_scan(False)))
+    scans.append((list(range(ncomp)), 0, 0, 1, 0, True, dc_scan(True)))
+
+    def comp_grid(ci: int):
+        ph, pw = plane_dims[ci]
+        return -(-ph // 8), -(-pw // 8)  # (ch, cw): true block grid
+
+    def ac_first(ci: int) -> bytes:
+        bw = _BitWriter()
+        act = ac_codes[tsel[ci]]
+        ch, cw = comp_grid(ci)
+        for u in range(ch * cw):
+            by, bx = divmod(u, cw)
+            flat = comp_blocks[ci][by, bx].reshape(64)[zz]
+            band = [_trunc_half(int(flat[k])) for k in range(1, 64)]
+            nz = [i for i, a in enumerate(band) if a]
+            last = nz[-1] if nz else -1
+            run = 0
+            for i, a in enumerate(band):
+                if i > last:
+                    break
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = act[0xF0]
+                    bw.put(c, ln)
+                    run -= 16
+                s = _csize(a)
+                c, ln = act[(run << 4) | s]
+                bw.put(c, ln)
+                _put_amp(bw, a, s)
+                run = 0
+            if last < 62:  # rest of band zero -> EOB (run kept at 1)
+                c, ln = act[0x00]
+                bw.put(c, ln)
+        bw.pad_to_byte()
+        return bytes(bw.out)
+
+    def ac_refine(ci: int) -> bytes:
+        # Mirrors libjpeg encode_mcu_AC_refine: newly-nonzero (|v|==1)
+        # coefficients get (run,1)+sign symbols; already-nonzero history
+        # (|v|>=2) buffers one correction bit (LSB), flushed after the
+        # next symbol; trailing state folds into a per-block EOB.
+        bw = _BitWriter()
+        act = ac_codes[tsel[ci]]
+        ch, cw = comp_grid(ci)
+        for u in range(ch * cw):
+            by, bx = divmod(u, cw)
+            flat = comp_blocks[ci][by, bx].reshape(64)[zz]
+            vals = [int(flat[k]) for k in range(1, 64)]
+            eob = -1
+            for i, v in enumerate(vals):
+                if abs(v) == 1:
+                    eob = i
+            run = 0
+            br_bits: list[int] = []
+
+            def flush() -> None:
+                for b in br_bits:
+                    bw.put(b, 1)
+                br_bits.clear()
+
+            for i, v in enumerate(vals):
+                t = abs(v)
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eob:
+                    c, ln = act[0xF0]
+                    bw.put(c, ln)
+                    run -= 16
+                    flush()
+                if t > 1:
+                    br_bits.append(t & 1)
+                    continue
+                c, ln = act[(run << 4) | 1]
+                bw.put(c, ln)
+                bw.put(1 if v > 0 else 0, 1)
+                flush()
+                run = 0
+            if run > 0 or br_bits:
+                c, ln = act[0x00]
+                bw.put(c, ln)
+                flush()
+        bw.pad_to_byte()
+        return bytes(bw.out)
+
+    for ci in range(ncomp):
+        scans.append(([ci], 1, 63, 0, 1, False, ac_first(ci)))
+    for ci in range(ncomp):
+        scans.append(([ci], 1, 63, 1, 0, False, ac_refine(ci)))
+    return scans
+
+
+def _assemble_jpeg(
+    h, w, gray, qy, qc, samp, tsel, restart_interval, scans, progressive=False
+):
+    """Wrap entropy scans in SOI/JFIF/DQT/SOF/DHT/SOS/EOI segments.
+    `scans`: list of (comp_indices, ss, se, ah, al, is_dc, data)."""
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tq, q in ((0, qy),) if gray else ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(q[z]) for z in ZIGZAG
+        )
+    nc = 1 if gray else 3
+    sof = 0xC2 if progressive else 0xC0
+    out += bytes([0xFF, sof]) + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += struct.pack(
+            "BBB", ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1
+        )
+    huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        huffs += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc_th, hb, hv in huffs:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(hv), tc_th)
+        out += bytes(hb) + bytes(hv)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    for cis, ss, se, ah, al, is_dc, data in scans:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(cis), len(cis))
+        for ci in cis:
+            td, ta = (tsel[ci], 0) if is_dc else (0, tsel[ci])
+            out += struct.pack("BB", ci + 1, (td << 4) | ta)
+        out += bytes([ss, se, (ah << 4) | al])
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # -------------------------------------------------------------- decoder
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (h, w, 3) RGB or (h, w)
-    grayscale uint8. Raises NotImplementedError for progressive /
-    arithmetic / 12-bit streams, ValueError for malformed ones."""
+    """Decode a baseline sequential (SOF0) or progressive (SOF2) JPEG
+    to (h, w, 3) RGB or (h, w) grayscale uint8. Raises
+    NotImplementedError for arithmetic-coded / 12-bit streams,
+    ValueError for malformed ones."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     hts: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
+    scans_seen = 0
     restart_interval = 0
     comps: list[dict] = []
     while pos + 4 <= len(payload):
@@ -452,10 +672,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[o + 17 : o + 17 + nv])
                 hts[(tc, th)] = _decode_table(bits, vals)
                 o += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
+            progressive = marker == 0xC2
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
@@ -463,24 +684,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
             frame = (fh, fw, nc)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: progressive/"
-                "arithmetic/hierarchical)"
+                f"unsupported JPEG coding (SOF marker 0xFF{marker:02X}: "
+                "lossless/arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             sel = {}
+            order = []
             for i in range(ns):
                 cs, tdta = struct.unpack_from("BB", seg, 1 + 2 * i)
                 sel[cs] = (tdta >> 4, tdta & 0xF)
+                order.append(cs)
             scan, pos = _entropy_segments(payload, pos)
-            return _decode_scan(
-                frame, comps, sel, qt, hts, restart_interval, scan
+            if not progressive:
+                return _decode_scan(
+                    frame, comps, sel, qt, hts, restart_interval, scan
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            _decode_prog_scan(
+                frame, comps, order, sel, hts, restart_interval, scan,
+                ss, se, ahal >> 4, ahal & 0xF,
             )
+            scans_seen += 1
         # else: APPn/COM — skipped
+    if progressive and scans_seen:
+        return _finish_progressive(frame, comps, qt)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -569,6 +801,13 @@ def _decode_scan(frame, comps, sel, qt, hts, restart_interval, segs):
                         c["coef"][my * c["v"] + by, mx * c["h"] + bx] = nat * q
             mcu += 1
 
+    return _finish_planes(frame, comps, hmax, vmax)
+
+
+def _finish_planes(frame, comps, hmax, vmax):
+    """IDCT + upsample + color-convert c['coef'] (natural-order,
+    dequantized) into the output image."""
+    fh, fw, nc = frame
     planes = []
     for c in comps:
         bl = idct2d(c["coef"]) + 128.0
@@ -591,3 +830,189 @@ def _decode_scan(frame, comps, sel, qt, hts, restart_interval, segs):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive decoding
+
+
+def _prog_init(frame, comps):
+    """Allocate zigzag-order coefficient storage (G.1: coefficients
+    accumulate across scans) and per-component block geometry."""
+    fh, fw, _nc = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2x2")
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    for c in comps:
+        if "coefz" not in c:
+            c["coefz"] = np.zeros(
+                (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64
+            )
+            # true (non-MCU-padded) block grid, for non-interleaved scans
+            cpw = -(-fw * c["h"] // hmax)  # component width in pixels
+            cph = -(-fh * c["v"] // vmax)
+            c["cw"] = -(-cpw // 8)
+            c["ch"] = -(-cph // 8)
+    return mcus_x, mcus_y
+
+
+def _decode_prog_scan(
+    frame, comps, order, sel, hts, restart_interval, segs, ss, se, ah, al
+):
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved or
+    single-component), AC first/refine (single-component, EOB runs)."""
+    if frame is None:
+        raise ValueError("SOS before SOF")
+    mcus_x, mcus_y = _prog_init(frame, comps)
+    by_id = {c["id"]: c for c in comps}
+    scan_comps = [by_id[cid] for cid in order]
+    seg_i = 0
+    br = _BitReader(segs[0])
+
+    if ss == 0:  # DC scan (Se must be 0 per spec)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        pred = [0] * len(scan_comps)
+        if len(scan_comps) > 1:
+            units = mcus_x * mcus_y  # interleaved: MCU order
+        else:
+            c0 = scan_comps[0]
+            units = c0["cw"] * c0["ch"]
+        interval = restart_interval or units
+        for u in range(units):
+            if u and u % interval == 0 and restart_interval:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("missing restart segment")
+                br = _BitReader(segs[seg_i])
+                pred = [0] * len(scan_comps)
+            if len(scan_comps) > 1:
+                my, mx = divmod(u, mcus_x)
+                for ci, c in enumerate(scan_comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = c["coefz"][my * c["v"] + by, mx * c["h"] + bx]
+                            _dc_unit(br, blk, hts, sel, c, ci, pred, ah, al)
+            else:
+                c = scan_comps[0]
+                by, bx = divmod(u, c["cw"])
+                _dc_unit(br, c["coefz"][by, bx], hts, sel, c, 0, pred, ah, al)
+        return
+
+    # AC scan: exactly one component (B.2.3)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan with multiple components")
+    c = scan_comps[0]
+    act = hts[(1, sel[c["id"]][1])]
+    units = c["cw"] * c["ch"]
+    interval = restart_interval or units
+    eobrun = 0
+    for u in range(units):
+        if u and u % interval == 0 and restart_interval:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segs[seg_i])
+            eobrun = 0
+        by, bx = divmod(u, c["cw"])
+        blk = c["coefz"][by, bx]
+        if ah == 0:
+            eobrun = _ac_first(br, blk, act, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine(br, blk, act, ss, se, al, eobrun)
+
+
+def _dc_unit(br, blk, hts, sel, c, ci, pred, ah, al):
+    if ah == 0:  # first DC scan: Huffman diff at precision Al
+        dct_ = hts[(0, sel[c["id"]][0])]
+        s = br.symbol(dct_)
+        pred[ci] += _extend(br.bits(s), s)
+        blk[0] = pred[ci] << al
+    else:  # refinement: one raw bit per block
+        if br.bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first(br, blk, act, ss, se, al, eobrun):
+    """First AC scan for one block (G.2.2): returns remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.symbol(act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r) + bits blocks ends here
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("progressive AC index overrun")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, blk, act, ss, se, al, eobrun):
+    """AC refinement scan for one block (G.2.2 / libjpeg
+    decode_mcu_AC_refine shape): newly-nonzero coefficients arrive as
+    ±1<<Al; already-nonzero ones consume one correction bit each as the
+    band is traversed. Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.symbol(act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement size != 1")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the rest of the band
+            if blk[k] != 0 and br.bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_progressive(frame, comps, qt):
+    """Dequantize accumulated zigzag coefficients and reconstruct."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if "coefz" not in c:
+            raise ValueError("progressive JPEG with no decoded scans")
+        q = qt[c["tq"]]  # natural order
+        byx = c["coefz"].shape[:2]
+        nat = np.zeros((byx[0], byx[1], 64), dtype=np.float64)
+        nat[:, :, ZIGZAG] = c["coefz"]
+        c["coef"] = (nat * q).reshape(byx[0], byx[1], 8, 8)
+    return _finish_planes(frame, comps, hmax, vmax)

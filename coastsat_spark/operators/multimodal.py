@@ -8,9 +8,10 @@ REAL codecs (pure-NumPy struct parsing, no libraries needed):
   - BMP: uncompressed 24-bit BI_RGB (bottom-up or top-down rows, 4-byte
     row padding) — encode + decode;
   - WAV: RIFF PCM mono 16-bit (chunk-walking parser) — encode + decode;
-  - JPEG: baseline sequential DCT (functions/jpeg.py — full T.81
-    baseline: Huffman, quant, zigzag, IDCT, 4:4:4/4:2:0, restart
-    markers) — encode + decode;
+  - JPEG: baseline sequential (SOF0) AND progressive (SOF2: spectral
+    selection, successive approximation, EOB runs) DCT
+    (functions/jpeg.py — Huffman, quant, zigzag, IDCT, 4:4:4/4:2:0,
+    restart markers) — encode + decode;
   - PNG: 8-bit grey/RGB/RGBA/palette, all five scanline filters,
     CRC-validated (functions/png.py; DEFLATE via stdlib zlib) —
     encode + decode;
@@ -25,8 +26,8 @@ REAL codecs (pure-NumPy struct parsing, no libraries needed):
     '00db' frames with BMP row conventions) — encode + decode, with
     `video_frame_features` frame sampling.
 PNG covers bit depths 1-16 and Adam7 interlacing (functions/png.py).
-Progressive JPEG, audio codecs beyond WAV (MP3/...) and compressed
-video stay honestly STUBBED with NotImplementedError.
+Arithmetic-coded/12-bit JPEG, audio codecs beyond WAV (MP3/...) and
+compressed video stay honestly STUBBED with NotImplementedError.
 
 A deterministic FAKE container format remains supported for tests:
   image: b"FIMG|" + w(le32) + h(le32) + c(le32) + w*h*c raw bytes
@@ -124,11 +125,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 def decode_image_bytes(payload: bytes) -> np.ndarray:
-    """Decode an image payload to (h, w, c) uint8: real BMP, baseline
-    JPEG and PNG parsing (all PNG depths/interlace; 16-bit samples are
-    downshifted to the top byte to keep the uint8 contract), the FIMG
-    fake container for tests; codec variants beyond those (progressive
-    JPEG, ...) are intentionally unimplemented in this environment."""
+    """Decode an image payload to (h, w, c) uint8: real BMP, JPEG
+    (baseline + progressive) and PNG parsing (all PNG depths/interlace;
+    16-bit samples are downshifted to the top byte to keep the uint8
+    contract), the FIMG fake container for tests; codec variants beyond
+    those (arithmetic-coded JPEG, ...) stay unimplemented loudly."""
     if payload is None:
         return None
     if payload.startswith(b"BM"):
@@ -191,11 +192,14 @@ def make_bmp_image(idx: int, w: int = 16, h: int = 12) -> bytes:
     return encode_bmp(px.reshape(h, w, 3))
 
 
-def make_jpeg_image(idx: int, w: int = 16, h: int = 12, quality: int = 90) -> bytes:
-    """Deterministic REAL baseline-JPEG payload. Pixels are a smooth
-    per-idx gradient rather than the hash noise of make_bmp_image: JPEG
-    is lossy, so payload tests pin decoded stats within PSNR bounds, and
-    smooth content keeps those bounds tight."""
+def make_jpeg_image(
+    idx: int, w: int = 16, h: int = 12, quality: int = 90, progressive: bool = False
+) -> bytes:
+    """Deterministic REAL JPEG payload (baseline, or SOF2 progressive
+    with `progressive=True`). Pixels are a smooth per-idx gradient
+    rather than the hash noise of make_bmp_image: JPEG is lossy, so
+    payload tests pin decoded stats within PSNR bounds, and smooth
+    content keeps those bounds tight."""
     from ..functions.jpeg import encode_jpeg
 
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
@@ -208,7 +212,11 @@ def make_jpeg_image(idx: int, w: int = 16, h: int = 12, quality: int = 90) -> by
         ],
         axis=-1,
     )
-    return encode_jpeg(np.clip(img, 0, 255).astype(np.uint8), quality=quality)
+    return encode_jpeg(
+        np.clip(img, 0, 255).astype(np.uint8),
+        quality=quality,
+        progressive=progressive,
+    )
 
 
 def make_wav_audio(idx: int, sr: int = 8000, n: int = 1600) -> bytes:

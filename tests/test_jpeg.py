@@ -153,11 +153,129 @@ def test_non_baseline_rejected_loudly():
     data = bytearray(jpeg.encode_jpeg(img, quality=85))
     sof = data.find(b"\xff\xc0")
     assert sof > 0
-    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # SOF2 with a baseline full-band interleaved scan is MALFORMED
+    # progressive (DC scan must have Se=0) -> ValueError, not silence
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se != 0"):
+        jpeg.decode_jpeg(bytes(data))
+    data[sof + 1] = 0xCA  # SOF10: progressive + arithmetic coding
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg.decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"\x89PNG\r\n")
+
+
+# ---------------------------------------------------------- progressive
+
+
+@pytest.mark.parametrize(
+    "shape,sub",
+    [
+        ((16, 16), "444"),          # grayscale
+        ((24, 31, 3), "444"),       # odd width, no subsampling
+        ((33, 18, 3), "420"),       # odd height, 2x2 chroma subsampling
+        ((8, 8, 3), "420"),         # single MCU
+    ],
+)
+@pytest.mark.parametrize("quality", [75, 95])
+def test_progressive_roundtrip_bit_identical_to_baseline(shape, sub, quality):
+    """The DC-first(Al=1)/DC-refine/AC-first(Al=1)/AC-refine scan script
+    is lossless w.r.t. the quantized coefficients (the refine scans
+    restore the successive-approximation bit), so decode(progressive)
+    must equal decode(baseline) BIT FOR BIT on the same input."""
+    rng = np.random.default_rng(hash((shape, quality)) % 2**32)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    img = (img.astype(np.float32) * 0.3 + 128 * 0.7).astype(np.uint8)
+    sub_eff = sub if len(shape) == 3 else "444"
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=quality, subsample=sub_eff))
+    prog = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=quality, subsample=sub_eff, progressive=True)
+    )
+    assert prog.shape == base.shape and prog.dtype == base.dtype
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_stream_is_sof2_multiscans():
+    img = _smooth(16, 24)
+    data = jpeg.encode_jpeg(img, quality=85, progressive=True)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    # DC-first + DC-refine + 3x AC-first + 3x AC-refine = 8 SOS scans
+    assert data.count(b"\xff\xda") == 8
+
+
+def test_progressive_eobn_hand_assembled():
+    """EOBn runs spanning >1 block (which our encoder never emits: it
+    keeps EOB runs at 1) — hand-assemble a grayscale SOF2 stream whose
+    AC-first scan uses EOB3 (r=2, eobrun covering 4 blocks), and pin the
+    decode against the literal IDCT of the intended coefficients.
+
+    Layout: 8x32 grayscale, all-1 quant table. DC-first scan (Al=0)
+    writes DC=16 for block 0 then zero diffs. AC-first scan (Ss=1,
+    Se=63, Al=0): block 0 sets zigzag k=1 to +3 then EOB0; block 1
+    opens with EOB3 (run-length r=2, two extra bits 0b01 -> eobrun =
+    (1<<2)-1 + 1 = 4), ending blocks 1..3 with no further symbols."""
+    import struct
+
+    # DC: Annex-K luma table. AC: EOBn symbols (0x20 = EOB3) are NOT in
+    # Annex K, so hand-build a 3-symbol canonical table — length-2 codes
+    # 00 -> 0x02 (run0,size2), 01 -> 0x00 (EOB0), 10 -> 0x20 (EOBn r=2).
+    dc_codes = jpeg._canonical_codes(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+    AC_BITS = [0, 3] + [0] * 14
+    AC_VALS = [0x02, 0x00, 0x20]
+    ac_codes = jpeg._canonical_codes(AC_BITS, AC_VALS)
+
+    # --- DC-first scan: diffs 16, 0, 0, 0 at Al=0
+    bw = jpeg._BitWriter()
+    for diff in (16, 0, 0, 0):
+        s = jpeg._csize(diff)
+        c, ln = dc_codes[s]
+        bw.put(c, ln)
+        if s:
+            jpeg._put_amp(bw, diff, s)
+    bw.pad_to_byte()
+    dc_scan = bytes(bw.out)
+
+    # --- AC-first scan: block0 (run=0,size=2)->+3 then EOB0; block1 EOB3
+    bw = jpeg._BitWriter()
+    c, ln = ac_codes[0x02]  # run 0, size 2
+    bw.put(c, ln)
+    jpeg._put_amp(bw, 3, 2)
+    c, ln = ac_codes[0x00]  # EOB0: ends block 0
+    bw.put(c, ln)
+    c, ln = ac_codes[0x20]  # (r=2, s=0): EOBn symbol
+    bw.put(c, ln)
+    bw.put(0b01, 2)  # eobrun = (1<<2)-1 + 1 = 4 -> blocks 1..3 done
+    bw.pad_to_byte()
+    ac_scan = bytes(bw.out)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 32, 1)
+    out += struct.pack("BBB", 1, 0x11, 0)
+    for tc_th, hb, hv in (
+        (0x00, jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS),
+        (0x10, AC_BITS, AC_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(hv), tc_th)
+        out += bytes(hb) + bytes(hv)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0x00])
+    out += dc_scan
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0x00])
+    out += ac_scan
+    out += b"\xff\xd9"
+
+    got = jpeg.decode_jpeg(bytes(out))
+    assert got.shape == (8, 32)
+
+    # Independent expectation: block 0 has DC=16, natural (0,1)=3 (zigzag
+    # index 1); blocks 1..3 have DC=16 (zero diffs) and no AC.
+    coef = np.zeros((4, 8, 8))
+    coef[:, 0, 0] = 16.0
+    coef[0, 0, 1] = 3.0
+    pix = jpeg.idct2d(coef) + 128.0
+    want = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+    want = np.concatenate([want[i] for i in range(4)], axis=1)
+    assert np.array_equal(got, want)
 
 
 def test_multimodal_dispatch_decodes_jpeg():
@@ -169,3 +287,7 @@ def test_multimodal_dispatch_decodes_jpeg():
     # deterministic payloads: same idx -> same bytes, different idx differs
     assert MM.make_jpeg_image(5) == payload
     assert MM.make_jpeg_image(6) != payload
+    # progressive payloads flow through the same dispatch, same pixels
+    prog = MM.make_jpeg_image(5, w=16, h=12, progressive=True)
+    assert prog != payload and prog[3] == 0xE0  # distinct bytes, real JFIF
+    assert np.array_equal(MM.decode_image_bytes(prog), img)
