@@ -291,3 +291,40 @@ def test_multimodal_dispatch_decodes_jpeg():
     prog = MM.make_jpeg_image(5, w=16, h=12, progressive=True)
     assert prog != payload and prog[3] == 0xE0  # distinct bytes, real JFIF
     assert np.array_equal(MM.decode_image_bytes(prog), img)
+
+
+# ----------------------------------------------------- property fuzzing
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    gray=st.booleans(),
+    sub=st.sampled_from(["444", "420"]),
+    quality=st.integers(min_value=30, max_value=100),
+    restart=st.integers(min_value=0, max_value=4),
+    h=st.integers(min_value=1, max_value=36),
+    w=st.integers(min_value=1, max_value=36),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_jpeg_decode_equivalence_property(gray, sub, quality, restart, h, w, seed):
+    """Content-independent invariant: restart markers and the
+    progressive scan script re-encode the SAME quantized coefficients,
+    so decode(baseline), decode(baseline+DRI) and decode(progressive)
+    must agree pixel-for-pixel on arbitrary noise images of arbitrary
+    (incl. sub-MCU) sizes."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=quality, subsample=sub))
+    assert base.shape == shape and base.dtype == np.uint8
+    dri = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=quality, subsample=sub, restart_interval=restart)
+    )
+    assert np.array_equal(dri, base)
+    prog = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=quality, subsample=sub, progressive=True)
+    )
+    assert np.array_equal(prog, base)

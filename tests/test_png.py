@@ -243,3 +243,33 @@ def test_multimodal_dispatch_decodes_png():
     g = _noise(5, 6, seed=2)
     out = MM.decode_image_bytes(png.encode_png(g))
     assert out.shape == (5, 6, 1) and np.array_equal(out[:, :, 0], g)
+
+
+# ----------------------------------------------------- property fuzzing
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    depth16=st.booleans(),
+    c=st.sampled_from([None, 3, 4]),
+    interlace=st.booleans(),
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_png_roundtrip_property(depth16, c, interlace, h, w, seed):
+    """PNG is lossless: encode->decode is EXACT for every shape x
+    channel-count x bit-depth x interlace combination, including the
+    degenerate 1-px rows/columns where Adam7 passes go empty."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if c is None else (h, w, c)
+    if depth16:
+        img = rng.integers(0, 65536, shape, dtype=np.uint16)
+    else:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = png.decode_png(png.encode_png(img, interlace=interlace))
+    assert out.dtype == img.dtype and out.shape == img.shape
+    assert np.array_equal(out, img)
