@@ -14,11 +14,13 @@ YCbCr<->RGB. Scope (and honest limits):
           8-bit, grayscale / 4:4:4 / 4:2:0 / 4:2:2-style factors up
           to 2x2. Arithmetic coding, 12-bit: loud NotImplementedError.
   encode: grayscale / 4:4:4 / 4:2:0, libjpeg-style quality scaling of
-          the Annex-K tables, optional restart interval (baseline);
-          progressive=True writes a DC-first/DC-refine/AC-first/
-          AC-refine scan script (EOB runs of 1, so the Annex-K AC
-          tables suffice — EOBn>0 symbols are exercised by
-          hand-assembled streams in the tests).
+          the Annex-K tables, optional restart interval (baseline AND
+          progressive); progressive=True defaults to a DC-first/
+          DC-refine/AC-first/AC-refine scan script and accepts an
+          arbitrary scan_script — spectral band splits, successive-
+          approximation depth, per-component DC scans (EOB runs of 1,
+          so the Annex-K AC tables suffice — EOBn>0 symbols are
+          exercised by hand-assembled streams in the tests).
 
 Verification strategy (no reference codec exists in this container):
 the DCT pair is pinned against a literal O(N^4) DCT-II definition
@@ -248,16 +250,21 @@ def encode_jpeg(
     subsample: str = "444",
     restart_interval: int = 0,
     progressive: bool = False,
+    scan_script=None,
 ) -> bytes:
     """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as baseline JPEG.
 
     `subsample`: '444' (no chroma subsampling) or '420' (2x2 mean).
-    `restart_interval`: MCUs between RSTn markers (0 = none, baseline
-    only). `progressive=True` writes SOF2 with the scan script
+    `restart_interval`: decode units between RSTn markers (0 = none) —
+    MCUs for baseline and interleaved-DC progressive scans, blocks for
+    single-component scans. `progressive=True` writes SOF2; the default
+    scan script is
     DC-first(Al=1) / DC-refine / per-component AC-first(1..63, Al=1) /
-    per-component AC-refine — successive approximation one bit deep,
-    which exercises every progressive decode path with the Annex-K
-    tables (EOB runs are kept at 1; EOBn symbols are not in Annex K).
+    per-component AC-refine — successive approximation one bit deep
+    (EOB runs are kept at 1; EOBn symbols are not in Annex K).
+    `scan_script` overrides it with (comp_indices, ss, se, al0) entries
+    — arbitrary spectral-selection band splits and successive-
+    approximation depths, see _encode_progressive_scans.
     """
     img = np.asarray(img)
     gray = img.ndim == 2
@@ -313,16 +320,18 @@ def encode_jpeg(
         ac_codes.append(_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
     tsel = [0] + [1] * (len(planes) - 1)
 
+    if scan_script is not None and not progressive:
+        raise ValueError("scan_script requires progressive=True")
     if progressive:
-        if restart_interval:
-            raise NotImplementedError("restart markers with progressive encode")
         plane_dims = [p.shape for p in planes]
         scans = _encode_progressive_scans(
             comp_blocks, plane_dims, samp, dc_codes, ac_codes, tsel,
-            mcus_x, mcus_y,
+            mcus_x, mcus_y, script=scan_script,
+            restart_interval=restart_interval,
         )
         return _assemble_jpeg(
-            h, w, gray, qy, qc, samp, tsel, 0, scans, progressive=True
+            h, w, gray, qy, qc, samp, tsel, restart_interval, scans,
+            progressive=True,
         )
 
     bw = _BitWriter()
@@ -436,68 +445,118 @@ def _put_amp(bw: _BitWriter, v: int, s: int) -> None:
     bw.put(v if v >= 0 else v + (1 << s) - 1, s)
 
 
-def _trunc_half(v: int) -> int:
-    """AC point transform for Al=1: divide by 2 toward zero (G.1.2.3)."""
-    return v >> 1 if v >= 0 else -((-v) >> 1)
+def _trunc(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al toward zero (G.1.2.3)."""
+    return v >> al if v >= 0 else -((-v) >> al)
 
 
 def _encode_progressive_scans(
-    comp_blocks, plane_dims, samp, dc_codes, ac_codes, tsel, mcus_x, mcus_y
+    comp_blocks, plane_dims, samp, dc_codes, ac_codes, tsel, mcus_x, mcus_y,
+    script=None, restart_interval=0,
 ):
-    """Build the fixed scan script DC-first(Al=1) / DC-refine /
-    per-component AC-first(1..63, Al=1) / per-component AC-refine.
+    """Expand a progressive scan script into entropy-coded scans.
+
+    `script` is a list of (comp_indices, ss, se, al0): each entry emits
+    one first scan at Al=al0 followed by al0 successive-approximation
+    refinement scans stepping Al down to 0. DC entries (ss=se=0) may
+    list several components (interleaved MCU order) or one (true block
+    grid); AC entries (1 <= ss <= se <= 63) must be single-component
+    per B.2.3. The default script is DC-first(Al=1)/DC-refine then
+    per-component AC(1..63, Al=1) first+refine. Decode equivalence with
+    baseline needs every component's full 1..63 band covered exactly
+    once — the caller's contract, not validated here (partial scripts
+    are legal JPEG; missing coefficients decode as zero).
 
     Returns a list of (comp_indices, ss, se, ah, al, is_dc, bytes)
     consumed by _assemble_jpeg. Block orders mirror the decoder exactly:
-    DC scans walk the interleaved MCU grid (padded blocks included),
-    AC scans walk each component's true cw x ch block grid row-major.
+    interleaved DC scans walk the MCU grid (padded blocks included),
+    single-component scans walk the true cw x ch block grid row-major.
     """
     ncomp = len(comp_blocks)
     zz = ZIGZAG
-    scans = []
-
-    def dc_scan(refine: bool) -> bytes:
-        bw = _BitWriter()
-        pred = [0] * ncomp
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for ci in range(ncomp):
-                    sh, sv = samp[ci]
-                    for by in range(sv):
-                        for bx in range(sh):
-                            dc = int(
-                                comp_blocks[ci][my * sv + by, mx * sh + bx]
-                                .reshape(64)[0]
-                            )
-                            if refine:
-                                bw.put(dc & 1, 1)
-                                continue
-                            d = dc >> 1  # arithmetic shift (G.1.2.1)
-                            diff = d - pred[ci]
-                            pred[ci] = d
-                            s = _csize(diff)
-                            c, ln = dc_codes[tsel[ci]][s]
-                            bw.put(c, ln)
-                            if s:
-                                _put_amp(bw, diff, s)
-        bw.pad_to_byte()
-        return bytes(bw.out)
-
-    scans.append((list(range(ncomp)), 0, 0, 0, 1, True, dc_scan(False)))
-    scans.append((list(range(ncomp)), 0, 0, 1, 0, True, dc_scan(True)))
+    if script is None:
+        script = [(list(range(ncomp)), 0, 0, 1)]
+        script += [([ci], 1, 63, 1) for ci in range(ncomp)]
 
     def comp_grid(ci: int):
         ph, pw = plane_dims[ci]
         return -(-ph // 8), -(-pw // 8)  # (ch, cw): true block grid
 
-    def ac_first(ci: int) -> bytes:
+    rst_state = [0]  # RSTn modulo counter, per scan
+
+    def _restart(bw, u) -> bool:
+        """Emit an RSTn marker before unit u when the interval lands.
+        The scan's entropy bytes carry the markers raw — the decoder's
+        _entropy_segments splits on them, one segment per interval."""
+        if not (restart_interval and u and u % restart_interval == 0):
+            return False
+        bw.pad_to_byte()
+        bw.out += bytes([0xFF, 0xD0 + (rst_state[0] & 7)])
+        rst_state[0] += 1
+        return True
+
+    def dc_units(comps_idx):
+        """Yield one decoder unit (MCU, or block when single-comp) of
+        (scan_comp_pos, dc_value) pairs at a time."""
+        if len(comps_idx) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    unit = []
+                    for pi, ci in enumerate(comps_idx):
+                        sh, sv = samp[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                unit.append((pi, int(
+                                    comp_blocks[ci][my * sv + by, mx * sh + bx]
+                                    .reshape(64)[0]
+                                )))
+                    yield unit
+        else:
+            ci = comps_idx[0]
+            ch, cw = comp_grid(ci)
+            for u in range(ch * cw):
+                by, bx = divmod(u, cw)
+                yield [(0, int(comp_blocks[ci][by, bx].reshape(64)[0]))]
+
+    def dc_first(comps_idx, al) -> bytes:
         bw = _BitWriter()
+        rst_state[0] = 0
+        pred = [0] * len(comps_idx)
+        for u, unit in enumerate(dc_units(comps_idx)):
+            if _restart(bw, u):
+                pred = [0] * len(comps_idx)
+            for pi, dc in unit:
+                d = dc >> al  # arithmetic shift (G.1.2.1)
+                diff = d - pred[pi]
+                pred[pi] = d
+                s = _csize(diff)
+                c, ln = dc_codes[tsel[comps_idx[pi]]][s]
+                bw.put(c, ln)
+                if s:
+                    _put_amp(bw, diff, s)
+        bw.pad_to_byte()
+        return bytes(bw.out)
+
+    def dc_refine(comps_idx, al) -> bytes:
+        bw = _BitWriter()
+        rst_state[0] = 0
+        for u, unit in enumerate(dc_units(comps_idx)):
+            _restart(bw, u)
+            for _pi, dc in unit:
+                bw.put((dc >> al) & 1, 1)
+        bw.pad_to_byte()
+        return bytes(bw.out)
+
+    def ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        rst_state[0] = 0
         act = ac_codes[tsel[ci]]
         ch, cw = comp_grid(ci)
         for u in range(ch * cw):
+            _restart(bw, u)  # EOB runs never span blocks here, so no state
             by, bx = divmod(u, cw)
             flat = comp_blocks[ci][by, bx].reshape(64)[zz]
-            band = [_trunc_half(int(flat[k])) for k in range(1, 64)]
+            band = [_trunc(int(flat[k]), al) for k in range(ss, se + 1)]
             nz = [i for i, a in enumerate(band) if a]
             last = nz[-1] if nz else -1
             run = 0
@@ -516,27 +575,30 @@ def _encode_progressive_scans(
                 bw.put(c, ln)
                 _put_amp(bw, a, s)
                 run = 0
-            if last < 62:  # rest of band zero -> EOB (run kept at 1)
+            if last < se - ss:  # rest of band zero -> EOB (run kept at 1)
                 c, ln = act[0x00]
                 bw.put(c, ln)
         bw.pad_to_byte()
         return bytes(bw.out)
 
-    def ac_refine(ci: int) -> bytes:
-        # Mirrors libjpeg encode_mcu_AC_refine: newly-nonzero (|v|==1)
-        # coefficients get (run,1)+sign symbols; already-nonzero history
-        # (|v|>=2) buffers one correction bit (LSB), flushed after the
-        # next symbol; trailing state folds into a per-block EOB.
+    def ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        # Mirrors libjpeg encode_mcu_AC_refine at bit position Al:
+        # newly-nonzero coefficients (|v|>>Al == 1) get (run,1)+sign
+        # symbols; history (|v|>>Al >= 2) buffers correction bit
+        # (|v|>>Al)&1, flushed after the next symbol; trailing state
+        # folds into a per-block EOB.
         bw = _BitWriter()
+        rst_state[0] = 0
         act = ac_codes[tsel[ci]]
         ch, cw = comp_grid(ci)
         for u in range(ch * cw):
+            _restart(bw, u)
             by, bx = divmod(u, cw)
             flat = comp_blocks[ci][by, bx].reshape(64)[zz]
-            vals = [int(flat[k]) for k in range(1, 64)]
+            vals = [int(flat[k]) for k in range(ss, se + 1)]
             eob = -1
             for i, v in enumerate(vals):
-                if abs(v) == 1:
+                if abs(v) >> al == 1:
                     eob = i
             run = 0
             br_bits: list[int] = []
@@ -547,7 +609,7 @@ def _encode_progressive_scans(
                 br_bits.clear()
 
             for i, v in enumerate(vals):
-                t = abs(v)
+                t = abs(v) >> al
                 if t == 0:
                     run += 1
                     continue
@@ -571,10 +633,28 @@ def _encode_progressive_scans(
         bw.pad_to_byte()
         return bytes(bw.out)
 
-    for ci in range(ncomp):
-        scans.append(([ci], 1, 63, 0, 1, False, ac_first(ci)))
-    for ci in range(ncomp):
-        scans.append(([ci], 1, 63, 1, 0, False, ac_refine(ci)))
+    scans = []
+    for comps_idx, ss, se, al0 in script:
+        comps_idx = list(comps_idx)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan entry must have se == 0")
+            scans.append((comps_idx, 0, 0, 0, al0, True, dc_first(comps_idx, al0)))
+            for al in range(al0 - 1, -1, -1):
+                scans.append(
+                    (comps_idx, 0, 0, al + 1, al, True, dc_refine(comps_idx, al))
+                )
+        else:
+            if len(comps_idx) != 1:
+                raise ValueError("AC scan entry must be single-component (B.2.3)")
+            if not (1 <= ss <= se <= 63):
+                raise ValueError(f"bad AC band [{ss}, {se}]")
+            (ci,) = comps_idx
+            scans.append(([ci], ss, se, 0, al0, False, ac_first(ci, ss, se, al0)))
+            for al in range(al0 - 1, -1, -1):
+                scans.append(
+                    ([ci], ss, se, al + 1, al, False, ac_refine(ci, ss, se, al))
+                )
     return scans
 
 

@@ -299,7 +299,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=80, deadline=None)
 @given(
     gray=st.booleans(),
     sub=st.sampled_from(["444", "420"]),
@@ -325,6 +325,93 @@ def test_jpeg_decode_equivalence_property(gray, sub, quality, restart, h, w, see
     )
     assert np.array_equal(dri, base)
     prog = jpeg.decode_jpeg(
-        jpeg.encode_jpeg(img, quality=quality, subsample=sub, progressive=True)
+        jpeg.encode_jpeg(
+            img,
+            quality=quality,
+            subsample=sub,
+            progressive=True,
+            restart_interval=restart,
+        )
     )
     assert np.array_equal(prog, base)
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.data())
+def test_jpeg_arbitrary_scan_script_property(data):
+    """The G.2 decoder's general paths — arbitrary spectral-selection
+    band splits, successive-approximation depth 0-3, per-component
+    (non-interleaved) DC scans — pinned by fuzzing the scan script:
+    every complete script must reconstruct the exact baseline decode."""
+    gray = data.draw(st.booleans(), label="gray")
+    sub = data.draw(st.sampled_from(["444", "420"]), label="sub")
+    h = data.draw(st.integers(1, 32), label="h")
+    w = data.draw(st.integers(1, 32), label="w")
+    seed = data.draw(st.integers(0, 2**31), label="seed")
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    ncomp = 1 if gray else 3
+
+    script = []
+    if data.draw(st.booleans(), label="dc_interleaved") and ncomp > 1:
+        script.append((list(range(ncomp)), 0, 0, data.draw(st.integers(0, 2))))
+    else:
+        for ci in range(ncomp):
+            script.append(([ci], 0, 0, data.draw(st.integers(0, 2))))
+    for ci in range(ncomp):
+        ncuts = data.draw(st.integers(0, 2), label=f"ncuts{ci}")
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(2, 63), min_size=ncuts, max_size=ncuts, unique=True
+                ),
+                label=f"cuts{ci}",
+            )
+        )
+        lo = 1
+        for cut in cuts + [64]:
+            script.append(([ci], lo, cut - 1, data.draw(st.integers(0, 3))))
+            lo = cut
+
+    restart = data.draw(st.integers(0, 4), label="restart")
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=75, subsample=sub))
+    prog = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(
+            img,
+            quality=75,
+            subsample=sub,
+            progressive=True,
+            scan_script=script,
+            restart_interval=restart,
+        )
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_libjpeg_style_scan_script():
+    """The scan script libjpeg actually emits by default (interleaved
+    DC at Al=1, luma AC split 1-5 / 6-63 at Al=2, chroma full-band)
+    decodes identically to baseline."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (33, 29, 3), dtype=np.uint8)
+    script = [
+        ([0, 1, 2], 0, 0, 1),
+        ([0], 1, 5, 2),
+        ([0], 6, 63, 2),
+        ([1], 1, 63, 1),
+        ([2], 1, 63, 1),
+    ]
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=80, subsample="420"))
+    prog = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(
+            img, quality=80, subsample="420", progressive=True, scan_script=script
+        )
+    )
+    assert np.array_equal(prog, base)
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg.encode_jpeg(img, scan_script=script)
+    with pytest.raises(ValueError, match="single-component"):
+        jpeg.encode_jpeg(
+            img, progressive=True, scan_script=[([0, 1], 1, 63, 0)]
+        )
