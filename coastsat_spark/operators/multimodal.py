@@ -263,18 +263,41 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
-def image_features(media: DataFrame) -> DataFrame:
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+
+# Web-scale corpora contain truncated/hostile payload bytes as a matter
+# of course; one bad row must not fail a whole task (and, with retries,
+# the job). `on_error='skip'` quarantines the ROW and keeps the task
+# alive. It deliberately catches Exception at this boundary: depending
+# on where corruption lands, the pure-NumPy decoders raise ValueError,
+# NotImplementedError, struct.error, zlib.error, IndexError or KeyError
+# — enumerating them would silently re-crash on the next variant.
+# 'raise' (the default) preserves fail-fast semantics for trusted data.
+
+
+def image_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Per-image channel means via mapInPandas (Arrow batches of binary).
 
     The decode step is the stub; batch shape, schema and partitioning are
-    the production plumbing.
+    the production plumbing. `on_error='skip'` drops undecodable rows
+    instead of failing the task (see note above; pair with
+    `media_decode_errors` to audit what was dropped).
     """
+    _check_on_error(on_error)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                im = decode_image_bytes(bytes(payload))
+                try:
+                    im = decode_image_bytes(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
                 means = im.reshape(-1, im.shape[2]).mean(axis=0)
                 out.append(
                     (
@@ -327,7 +350,13 @@ def _resize_bilinear(im: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return np.clip(out + 0.5, 0, 255).astype(np.uint8)
 
 
-def resize_images(media: DataFrame, out_w: int, out_h: int, mode: str = "nearest") -> DataFrame:
+def resize_images(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    mode: str = "nearest",
+    on_error: str = "raise",
+) -> DataFrame:
     """Resample images inside the fake container (S6 warp analog): the
     reference's warp_image_to_target switches gdal.Warp between bilinear
     (continuous bands) and nearest (masks / categorical) at
@@ -336,6 +365,7 @@ def resize_images(media: DataFrame, out_w: int, out_h: int, mode: str = "nearest
     batch at a time."""
     if mode not in ("nearest", "bilinear"):
         raise ValueError(f"mode must be 'nearest' or 'bilinear', got {mode!r}")
+    _check_on_error(on_error)
     resample = _resize_nearest if mode == "nearest" else _resize_bilinear
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -343,7 +373,12 @@ def resize_images(media: DataFrame, out_w: int, out_h: int, mode: str = "nearest
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
-                im = decode_image_bytes(raw)
+                try:
+                    im = decode_image_bytes(raw)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
                 c = im.shape[2]
                 resized = resample(im, out_w, out_h)
                 if raw.startswith(b"BM") and c == 3:
@@ -358,15 +393,23 @@ def resize_images(media: DataFrame, out_w: int, out_h: int, mode: str = "nearest
     )
 
 
-def audio_frame_samples(media: DataFrame, frame_ms: int = 25) -> DataFrame:
+def audio_frame_samples(
+    media: DataFrame, frame_ms: int = 25, on_error: str = "raise"
+) -> DataFrame:
     """Frame-sample audio payloads: per-frame RMS energy rows (UDTF-shaped
     mapInPandas: one binary row -> many frame rows)."""
+    _check_on_error(on_error)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                sr, samples = decode_audio_bytes(bytes(payload))
+                try:
+                    sr, samples = decode_audio_bytes(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
                 flen = max(int(sr * frame_ms / 1000), 1)
                 nf = len(samples) // flen
                 x = samples[: nf * flen].astype(np.float64).reshape(nf, flen)
@@ -378,6 +421,43 @@ def audio_frame_samples(media: DataFrame, frame_ms: int = 25) -> DataFrame:
 
     return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
         fn, schema="media_id long, frame_idx int, rms double"
+    )
+
+
+def media_decode_errors(media: DataFrame) -> DataFrame:
+    """Quarantine scan: attempt a kind-aware decode of every payload and
+    emit one row per FAILING payload (media_id, kind, error_class,
+    error_msg). Run it once over an untrusted corpus to audit — or
+    anti-join away — the rows the feature operators will drop under
+    on_error='skip'. Decodable payloads produce no output, so the result
+    is tiny no matter the input scale."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                try:
+                    if kind == "image":
+                        decode_image_bytes(bytes(payload))
+                    elif kind == "audio":
+                        decode_audio_bytes(bytes(payload))
+                    elif kind == "video":
+                        decode_avi(bytes(payload))
+                    else:
+                        raise NotImplementedError(f"unknown media kind {kind!r}")
+                except Exception as e:
+                    rows.append(
+                        (int(mid), str(kind), type(e).__name__, str(e)[:200])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "error_class", "error_msg"]
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        fn,
+        schema="media_id long, kind string, error_class string, error_msg string",
     )
 
 
@@ -493,17 +573,25 @@ def video_table(spark, n: int = 100) -> DataFrame:
     )
 
 
-def video_frame_features(videos: DataFrame, every: int = 2) -> DataFrame:
+def video_frame_features(
+    videos: DataFrame, every: int = 2, on_error: str = "raise"
+) -> DataFrame:
     """Frame-sample video payloads: decode the AVI, keep every k-th
     frame, emit per-frame channel means + brightness (UDTF-shaped
     mapInPandas: one binary row -> n_frames/k feature rows — the video
     analog of audio_frame_samples)."""
+    _check_on_error(on_error)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _fps, frames = decode_avi(bytes(payload))
+                try:
+                    _fps, frames = decode_avi(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
                 for fi in range(0, len(frames), every):
                     means = frames[fi].reshape(-1, 3).mean(axis=0)
                     rows.append(

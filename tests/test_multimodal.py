@@ -336,3 +336,49 @@ def test_avi_roundtrip_property():
         assert got_fps == fps and np.array_equal(out, frames)
 
     inner()
+
+
+def test_on_error_skip_quarantines_corrupt_payloads(spark):
+    """Web-scale contract: one hostile payload must not fail the task.
+    on_error='skip' drops exactly the undecodable rows; the default
+    ('raise') keeps fail-fast semantics; media_decode_errors reports
+    the dropped set with exception classes."""
+    good_img = MM.make_jpeg_image(1)
+    rows = [
+        (1, "image", good_img),
+        (2, "image", good_img[: len(good_img) // 2]),   # truncated JPEG
+        (3, "image", b"\x89PNG\r\n\x1a\njunkjunkjunk"), # corrupt PNG
+        (4, "image", MM.make_bmp_image(4)),
+        (5, "audio", MM.make_wav_audio(5)),
+        (6, "audio", b"RIFF\x10\x00\x00\x00WAVEjunk"),  # WAV, no chunks
+        (7, "video", b"RIFF\x08\x00\x00\x00AVI "),      # AVI, no streams
+        (8, "image", bytes(64)),                        # unknown magic
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+
+    feats = MM.image_features(media, on_error="skip").toPandas()
+    assert sorted(feats["media_id"]) == [1, 4]
+    rs = MM.resize_images(media, 4, 4, on_error="skip").toPandas()
+    assert sorted(rs["media_id"]) == [1, 4]
+    au = MM.audio_frame_samples(media, on_error="skip").toPandas()
+    assert set(au["media_id"]) == {5}
+    vid = MM.video_frame_features(
+        media.filter("kind = 'video'"), on_error="skip"
+    ).toPandas()
+    assert len(vid) == 0
+
+    errs = (
+        MM.media_decode_errors(media)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert list(errs["media_id"]) == [2, 3, 6, 7, 8]
+    assert (errs["error_class"] != "").all()
+    # the default stays fail-fast
+    with pytest.raises(Exception):
+        MM.image_features(media).toPandas()
+    with pytest.raises(ValueError, match="on_error"):
+        MM.image_features(media, on_error="ignore")
