@@ -42,6 +42,8 @@ import struct
 
 import numpy as np
 
+from ._guard import check_dims
+
 # --------------------------------------------------------------- tables
 
 ZIGZAG = np.array(
@@ -756,6 +758,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
+            check_dims(fw, fh, "JPEG SOF")
             progressive = marker == 0xC2
             comps = []
             for i in range(nc):

@@ -29,6 +29,8 @@ import zlib
 
 import numpy as np
 
+from ._guard import check_dims
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 # Adam7 pass geometry: (x_start, y_start, x_step, y_step), spec order.
@@ -226,6 +228,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG has no IHDR")
+    check_dims(w, h, "PNG IHDR")
     channels = _CHANNELS.get(ctype)
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype}")

@@ -35,6 +35,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+from ._guard import check_dims
+
 import numpy as np
 
 # ------------------------------------------------------------------ LZW
@@ -310,6 +312,7 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     if w is None or h is None:
         raise ValueError("TIFF missing ImageWidth/ImageLength")
     spp = tag1(277, 1)
+    check_dims(w, h, "TIFF IFD", frames=spp)  # spp multiplies the buffer
     bps_arr = tags.get(258, np.array([8]))
     if len(set(int(b) for b in bps_arr)) != 1:
         raise NotImplementedError("heterogeneous BitsPerSample")
@@ -334,6 +337,7 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
     tiled = 322 in tags
     if tiled:
         tw, th = tag1(322), tag1(323)
+        check_dims(tw, th, "TIFF tile")  # per-tile buffers use TILE dims
         offsets, counts = tags[324], tags[325]
     else:
         tw, th = w, tag1(278, h)

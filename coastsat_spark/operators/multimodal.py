@@ -44,6 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions._guard import check_dims
 from ..hashing import hash_stream
 
 IMAGE_MAGIC = b"FIMG|"
@@ -85,6 +86,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
     bottom_up = h > 0
     h = abs(h)
+    check_dims(w, h, "BMP header")
     rowsize = (w * 3 + 3) & ~3
     arr = np.frombuffer(payload, np.uint8, rowsize * h, data_off).reshape(h, rowsize)
     img = arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
@@ -539,6 +541,7 @@ def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
     if bpp != 24 or comp != 0:
         raise NotImplementedError(f"only 24-bit uncompressed DIB AVI (bpp={bpp}, comp={comp})")
     h = abs(h)
+    check_dims(w, h, "AVI strf", frames=len(frames))
     rowsize = (w * 3 + 3) & ~3
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
     for i, fb in enumerate(frames):
