@@ -237,7 +237,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     if depth == 16 and ctype == 3:
         raise ValueError("PNG 16-bit palette is invalid")
     bpp = max(1, channels * depth // 8)
-    raw = zlib.decompress(bytes(idat))
+    # Bound the inflate by the size the declared geometry can consume:
+    # zlib expands up to ~1000x, so an unbounded decompress of a hostile
+    # IDAT is a memory bomb the dimension guard can't see. Anything past
+    # `expected` is a wrong-length error anyway — detect it one byte in.
+    expected = sum(
+        ph * (1 + (pw * channels * depth + 7) // 8)
+        for _, _, _, _, pw, ph in _pass_geometry(w, h, interlace)
+    )
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
     flat = np.frombuffer(raw, np.uint8)
     dtype = np.uint16 if depth == 16 else np.uint8
     img = np.zeros((h, w, channels), dtype=dtype)

@@ -179,7 +179,7 @@ def packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def packbits_decode(data: bytes) -> bytes:
+def packbits_decode(data: bytes, expected: int | None = None) -> bytes:
     out = bytearray()
     i, n = 0, len(data)
     while i < n:
@@ -192,6 +192,9 @@ def packbits_decode(data: bytes) -> bytes:
             out += bytes([data[i]]) * (257 - h)
             i += 1
         # 128: no-op
+        if expected is not None and len(out) >= expected:
+            break  # runs expand 128x: stop a hostile stream at the
+            # segment's geometric size instead of 128x the file size
     return bytes(out)
 
 
@@ -347,11 +350,15 @@ def decode_geotiff(payload: bytes) -> tuple[np.ndarray, dict]:
         if comp == _COMP_NONE:
             return raw
         if comp in (_COMP_DEFLATE_ADOBE, _COMP_DEFLATE):
-            return zlib.decompress(raw)
+            # bound the inflate by the segment's geometric size — zlib
+            # expands ~1000x, so an unbounded decompress of a hostile
+            # segment is a memory bomb; bytes past nbytes are ignored
+            # by the consumer (frombuffer takes exactly nbytes) anyway
+            return zlib.decompressobj().decompress(raw, nbytes)
         if comp == _COMP_LZW:
             return lzw_decode(raw, expected=nbytes)
         if comp == _COMP_PACKBITS:
-            return packbits_decode(raw)
+            return packbits_decode(raw, expected=nbytes)
         raise NotImplementedError(f"TIFF compression {comp}")
 
     seg_bands = 1 if planar == 2 else spp

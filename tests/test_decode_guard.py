@@ -93,3 +93,81 @@ def test_valid_payloads_still_decode():
     assert np.array_equal(decode_png(encode_png(img)), img)
     fps, fr = MM.decode_avi(MM.encode_avi(np.stack([img, img])))
     assert fr.shape == (2, 4, 6, 3)
+
+
+# ------------------------------------------------- decompression bombs
+# The dims guard bounds OUTPUT buffers; these pin that the INFLATE step
+# is also bounded by the declared geometry, so a tiny hostile stream
+# (zlib expands ~1000x, PackBits 128x) can't blow up an executor first.
+
+BOMB_RAW = 256 * 1024 * 1024  # what an unbounded inflate would allocate
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + cid + body
+        + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+    )
+
+
+def test_png_zlib_bomb_bounded():
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # 4x4 RGB8
+    bomb = zlib.compress(b"\x00" * BOMB_RAW, 9)  # ~250 KB compressed
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", bomb)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="wrong length"):
+        decode_png(payload)
+
+
+def _retag_tiff(p: bytes, comp: int, seg: bytes) -> bytes:
+    """Point a valid single-strip TIFF at a hostile appended segment."""
+    out = bytearray(p)
+    ifd = struct.unpack_from("<I", p, 4)[0]
+    n = struct.unpack_from("<H", p, ifd)[0]
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag = struct.unpack_from("<H", p, e)[0]
+        if tag == 259:  # Compression
+            struct.pack_into("<I", out, e + 8, comp)
+        elif tag == 273:  # StripOffsets
+            struct.pack_into("<I", out, e + 8, len(p))
+        elif tag == 279:  # StripByteCounts
+            struct.pack_into("<I", out, e + 8, len(seg))
+    return bytes(out) + seg
+
+
+def test_tiff_deflate_bomb_bounded():
+    from coastsat_spark.functions.tiff import encode_tiff, decode_tiff
+
+    base = encode_tiff(
+        np.arange(64, dtype=np.uint8).reshape(8, 8), compression="none"
+    )
+    bomb = zlib.compress(b"\x00" * BOMB_RAW, 9)
+    arr = decode_tiff(_retag_tiff(base, 8, bomb))  # capped at 64 bytes
+    assert arr.shape[:2] == (8, 8) and not arr.any()
+
+
+def test_tiff_packbits_bomb_bounded():
+    from coastsat_spark.functions.tiff import encode_tiff, decode_tiff
+
+    # 2M copies of a max-run pair would inflate to 256 MB unbounded
+    bomb = b"\x81\x00" * (BOMB_RAW // 128)
+    base = encode_tiff(
+        np.arange(64, dtype=np.uint8).reshape(8, 8), compression="none"
+    )
+    arr = decode_tiff(_retag_tiff(base, 32773, bomb))
+    assert arr.shape[:2] == (8, 8) and not arr.any()
+
+
+def test_packbits_expected_cap_unit():
+    from coastsat_spark.functions.tiff import packbits_decode
+
+    bomb = b"\x81\xab" * 1000  # 128 KB unbounded
+    out = packbits_decode(bomb, expected=64)
+    assert 64 <= len(out) <= 64 + 128
+    # and unbounded when expected is None (back-compat)
+    assert len(packbits_decode(b"\x81\xab" * 3)) == 384
