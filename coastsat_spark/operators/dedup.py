@@ -819,3 +819,220 @@ def minhash_assign_oracle_sql(
              FROM reach GROUP BY 1)
     SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
     FROM {table} d LEFT JOIN comp c USING (doc_id)"""
+
+
+# -------------------------------------- word-n-gram digests (shared core)
+
+def ngram_digest_expr(th_col: str, n: int) -> "F.Column":
+    """array<long> of length-`n` window digests over a token-hash column
+    (`token_hashes_col` output): digest = ``xxhash64(th[i], ...,
+    th[i+n-1])`` — Spark's multi-argument XxHash64 chain, so the DuckDB
+    side can replay it bit-for-bit with `hashing.xxh64_longs_chain_steps`
+    (`_ngram_cte_sql`). Docs with fewer than `n` tokens (or NULL text:
+    size(NULL) = -1) yield an empty array. All JVM-side: the text column
+    never leaves the scan stage, only 8-byte digests shuffle."""
+    args = ", ".join(f"element_at({th_col}, i + {j})" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({th_col}) >= {n} THEN "
+        f"transform(sequence(1, size({th_col}) - {n - 1}), i -> xxhash64({args})) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+
+
+def _ngram_cte_sql(n: int) -> str:
+    """CTE text from ``tokh`` (see `tokhash_cte_sql`) to
+    ``ng(doc_id, pos0, digest)``: every length-`n` token window as
+    (0-based start position, Spark-xxhash64 chain digest), the bit-exact
+    mirror of `ngram_digest_expr` — lead() windows gather the n token
+    hashes, `xxh64_longs_chain_steps` folds them exactly as Spark's
+    multi-argument XxHash64 does."""
+    from ..hashing import staged_sql, xxh64_longs_chain_steps
+
+    lead_cols = [f"lead(th, {j}) OVER w AS t{j}" for j in range(1, n)]
+    sel = ",\n             ".join(["th AS t0"] + lead_cols)
+    inner = (
+        f"SELECT doc_id, pos - 1 AS pos0, {sel}\n"
+        "      FROM tokh WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
+    )
+    folded = staged_sql(
+        f"SELECT * FROM ({inner}) WHERE t{n - 1} IS NOT NULL",
+        xxh64_longs_chain_steps([f"t{j}" for j in range(n)], "digest", "G"),
+    )
+    return f"ng AS (SELECT doc_id, pos0, digest FROM ({folded}))"
+
+
+# --------------------------------------------- benchmark decontamination
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with an evaluation set (the GPT-3 appendix-C / PaLM
+    protocol: any n-gram collision with the eval set marks the document
+    contaminated; `min_hits` raises the bar, `hit_frac` supports
+    fraction-threshold policies). Returns one row per input document:
+    (doc_id, n_ngrams, n_hit, hit_frac, contaminated).
+
+    Scale shape: the benchmark side is evaluation sets — megabytes, not
+    terabytes — so its distinct digest set is explicitly `broadcast()`;
+    the 100 TB document side contributes only int64 window digests to
+    the hash aggregate (map-side combined), and the text column never
+    leaves the scan. No shuffle touches document text, and the only
+    exchange is the per-doc count aggregate.
+    """
+    bench = (
+        benchmark.select(token_hashes_col(bench_text_col).alias("_th"))
+        .select(F.explode(ngram_digest_expr("_th", n)).alias("digest"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    g = (
+        docs.select(F.col(id_col), token_hashes_col(text_col).alias("_th"))
+        .select(id_col, F.explode_outer(ngram_digest_expr("_th", n)).alias("digest"))
+    )
+    hits = (
+        g.join(F.broadcast(bench), "digest", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("digest").alias("n_ngrams"),
+            F.count("_hit").alias("n_hit"),
+        )
+    )
+    return hits.select(
+        id_col,
+        "n_ngrams",
+        "n_hit",
+        F.when(F.col("n_ngrams") > 0, F.col("n_hit") / F.col("n_ngrams"))
+        .otherwise(F.lit(0.0))
+        .alias("hit_frac"),
+        (F.col("n_hit") >= min_hits).alias("contaminated"),
+    )
+
+
+def decontaminate_oracle_sql(
+    n: int = 8,
+    min_hits: int = 1,
+    table: str = "documents",
+    bench_table: str = "benchmark",
+) -> str:
+    """DuckDB mirror of `decontaminate`: union docs (ids >= 0) with the
+    benchmark rows (ids mapped to -1 - bench_id), one tokh + ng pass,
+    then the same broadcast-set semantics as a LEFT JOIN on the digest.
+    Bit-exact — both engines compute identical xxhash64 chain digests."""
+    uni = (
+        f"(SELECT doc_id, text FROM {table} "
+        f"UNION ALL SELECT -1 - bench_id AS doc_id, text FROM {bench_table}) u"
+    )
+    return f"""
+    WITH {tokhash_cte_sql(uni)},
+    {_ngram_cte_sql(n)},
+    bset AS (SELECT DISTINCT digest FROM ng WHERE doc_id < 0),
+    dng AS (SELECT doc_id, digest FROM ng WHERE doc_id >= 0),
+    hits AS (
+      SELECT d.doc_id,
+             count(g.digest) AS n_ngrams,
+             count(b.digest) AS n_hit
+      FROM {table} d
+      LEFT JOIN dng g USING (doc_id)
+      LEFT JOIN bset b ON b.digest = g.digest
+      GROUP BY 1)
+    SELECT doc_id, n_ngrams, n_hit,
+           CASE WHEN n_ngrams > 0 THEN n_hit / n_ngrams ELSE 0.0 END AS hit_frac,
+           n_hit >= {min_hits} AS contaminated
+    FROM hits"""
+
+
+# ------------------------------------------- duplicate-span detection
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplicate spans (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better' shape,
+    window-approximated): every token position covered by a k-token
+    window whose digest also occurs in at least one OTHER document is
+    duplicated; overlapping or adjacent matched windows merge into
+    maximal spans. Returns (doc_id, span_start, span_end, span_tokens)
+    with half-open token-index spans [span_start, span_end).
+
+    Scale shape: ONE scan of the document table (the cross-doc test is
+    min(doc_id) <> max(doc_id) as whole-partition window functions over
+    the 8-byte digest — no second scan for a join-back, no
+    count-distinct state); document text never shuffles, only (id, pos,
+    digest) triples; the interval merge is a gaps-and-islands window
+    over (doc_id, pos) — start a new span when the gap to the previous
+    matched window start exceeds k — entirely JVM window functions.
+    A universally hot digest (boilerplate) lands on one task like any
+    digest-keyed aggregate would; cap upstream with a doc-frequency cut
+    (the `jaccard_pairs` max_doc_freq pattern) if the corpus has one.
+    Within-doc repetition intentionally does NOT flag (cross-doc only,
+    like the suffix-array dedup it approximates); `repetition_stats`
+    covers the within-doc signal.
+    """
+    g = (
+        docs.select(F.col(id_col), token_hashes_col(text_col).alias("_th"))
+        .select(
+            id_col,
+            F.posexplode(ngram_digest_expr("_th", k)).alias("pos", "digest"),
+        )
+    )
+    wd = Window.partitionBy("digest")
+    m = (
+        g.withColumn("_lo", F.min(id_col).over(wd))
+        .withColumn("_hi", F.max(id_col).over(wd))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        m.withColumn(
+            "_new",
+            F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0),
+        )
+        .withColumn("_span", F.sum("_new").over(w))
+        .groupBy(id_col, "_span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def duplicate_spans_oracle_sql(k: int = 8, table: str = "documents") -> str:
+    """DuckDB mirror of `duplicate_spans`: same window digests (bit-exact
+    xxhash64 chain), same min<>max cross-doc test, same gaps-and-islands
+    merge expressed with lag()/sum() windows."""
+    return f"""
+    WITH {tokhash_cte_sql(table)},
+    {_ngram_cte_sql(k)},
+    dup AS (SELECT digest FROM ng GROUP BY digest
+            HAVING min(doc_id) <> max(doc_id)),
+    m AS (SELECT doc_id, pos0 AS pos FROM ng JOIN dup USING (digest)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER w + {k} THEN 1 ELSE 0 END AS newspan
+      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sp AS (
+      SELECT doc_id, pos,
+             sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM isl)
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {k} AS span_end,
+           max(pos) + {k} - min(pos) AS span_tokens
+    FROM sp GROUP BY doc_id, span_id"""
