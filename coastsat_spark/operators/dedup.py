@@ -839,13 +839,14 @@ def ngram_digest_expr(th_col: str, n: int) -> "F.Column":
     )
 
 
-def _ngram_cte_sql(n: int) -> str:
+def _ngram_cte_sql(n: int, name: str = "ng") -> str:
     """CTE text from ``tokh`` (see `tokhash_cte_sql`) to
-    ``ng(doc_id, pos0, digest)``: every length-`n` token window as
+    ``<name>(doc_id, pos0, digest)``: every length-`n` token window as
     (0-based start position, Spark-xxhash64 chain digest), the bit-exact
     mirror of `ngram_digest_expr` — lead() windows gather the n token
     hashes, `xxh64_longs_chain_steps` folds them exactly as Spark's
-    multi-argument XxHash64 does."""
+    multi-argument XxHash64 does. `name` lets one oracle chain several
+    n values side by side (operators/selection.py unions n=1..N)."""
     from ..hashing import staged_sql, xxh64_longs_chain_steps
 
     lead_cols = [f"lead(th, {j}) OVER w AS t{j}" for j in range(1, n)]
@@ -856,9 +857,9 @@ def _ngram_cte_sql(n: int) -> str:
     )
     folded = staged_sql(
         f"SELECT * FROM ({inner}) WHERE t{n - 1} IS NOT NULL",
-        xxh64_longs_chain_steps([f"t{j}" for j in range(n)], "digest", "G"),
+        xxh64_longs_chain_steps([f"t{j}" for j in range(n)], "digest", f"G{name}"),
     )
-    return f"ng AS (SELECT doc_id, pos0, digest FROM ({folded}))"
+    return f"{name} AS (SELECT doc_id, pos0, digest FROM ({folded}))"
 
 
 # --------------------------------------------- benchmark decontamination

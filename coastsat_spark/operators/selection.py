@@ -1,0 +1,177 @@
+"""Data-selection scoring: DSIR-style hashed n-gram importance weights.
+
+`importance_weights` implements the scoring core of Data Selection via
+Importance Resampling (DSIR, Xie et al. 2023): represent each document
+by word n-grams (n = 1..`ngram`) hashed into `n_buckets` buckets, fit
+two bag-of-buckets models — one on a TARGET corpus (the distribution
+you want, e.g. curated text), one on the raw corpus itself as the
+background — and score every document by its log importance ratio
+sum_f [ ln p_target(bucket(f)) - ln p_background(bucket(f)) ], with
+add-`alpha` smoothing on both models. Downstream selection (rank /
+threshold / sample-proportional) composes with the existing top-k and
+`mix_domains` machinery.
+
+Scale shape: both models are bucket-count AGGREGATES — at most
+`n_buckets` rows each (10^4 by default) regardless of corpus size — so
+the merged weight table broadcasts; the scoring pass explodes documents
+to 8-byte bucket ids (text never leaves the scan), broadcast-joins the
+weight table, and map-side-combines the per-doc sum. Two scans of the
+raw corpus total (one to fit the background, one to score); at 100 TB
+fit the background on a hash-bounded sample instead (pass `background=`
+explicitly — any DataFrame with the same text column, e.g.
+`docs.filter(pmod(xxhash64(id), k) == 0)`), which is what DSIR itself
+does. Everything is JVM built-ins; the DuckDB mirror replays the
+xxhash64 chain digests bit-for-bit, so bucket assignment — and with it
+every count — is engine-exact (the float log-sum matches to 1e-9).
+
+No reference analog (CoastSat has no text layer); this extends the
+LLM-pipeline family (`dedup.py`, `packing.py`, `functions/text.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _ngram_cte_sql, ngram_digest_expr, token_hashes_col, tokhash_cte_sql
+
+
+def _doc_buckets(
+    df: DataFrame, n_buckets: int, ngram: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, bucket) — one row per n-gram occurrence (n = 1..ngram),
+    bucket = pmod(xxhash64-chain(window token hashes), n_buckets).
+    Documents with zero tokens keep one NULL-bucket row (explode_outer)
+    so scoring can return them with n_feat = 0."""
+    th = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        token_hashes_col(text_col).alias("_th"),
+    )
+    allgrams = F.concat(
+        *[ngram_digest_expr("_th", n) for n in range(1, ngram + 1)]
+    )
+    return th.select(
+        "doc_id", F.explode_outer(allgrams).alias("_digest")
+    ).select(
+        "doc_id", F.pmod(F.col("_digest"), F.lit(int(n_buckets))).alias("bucket")
+    )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    background: DataFrame | None = None,
+    n_buckets: int = 10_000,
+    ngram: int = 2,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str = "text",
+) -> DataFrame:
+    """Score every document in `docs` by its DSIR log importance ratio.
+
+    Returns (doc_id, n_feat, logratio): feature count and
+    sum over the doc's hashed n-grams of ln(p_t) - ln(p_b), where
+    p_t(b) = (cnt_target(b) + alpha) / (T + alpha * n_buckets) and
+    p_b likewise over `background` (default: `docs` itself). Token-less
+    docs score (0, 0.0). Higher = more target-like.
+    """
+    if ngram < 1 or n_buckets < 1:
+        raise ValueError("ngram and n_buckets must be >= 1")
+    bg = background if background is not None else docs
+    B = int(n_buckets)
+
+    tgt = _doc_buckets(target, B, ngram, target_text_col, id_col)
+    bgb = _doc_buckets(bg, B, ngram, text_col, id_col)
+    tcnt = tgt.filter(F.col("bucket").isNotNull()).groupBy("bucket").agg(
+        F.count("*").alias("cnt_t")
+    )
+    bcnt = bgb.filter(F.col("bucket").isNotNull()).groupBy("bucket").agg(
+        F.count("*").alias("cnt_b")
+    )
+    totals = tcnt.agg(F.sum("cnt_t").alias("tot_t")).crossJoin(
+        bcnt.agg(F.sum("cnt_b").alias("tot_b"))
+    )
+    # merged weight table: <= n_buckets rows however big the corpora are.
+    # FULL outer so target-only buckets are scoreable too (a doc feature
+    # always exists in the background when background=docs, but not when
+    # the background is a sample).
+    w = (
+        bcnt.join(tcnt, "bucket", "full")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("cnt_t"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("tot_t") + F.lit(float(alpha * B)))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cnt_b"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("tot_b") + F.lit(float(alpha * B)))
+                )
+            ).alias("weight"),
+        )
+    )
+    feats = _doc_buckets(docs, B, ngram, text_col, id_col)
+    return (
+        feats.join(F.broadcast(w), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("bucket").alias("n_feat"),
+            F.coalesce(F.sum("weight"), F.lit(0.0)).alias("logratio"),
+        )
+    )
+
+
+def _feat_cte_sql(ngram: int, n_buckets: int, prefix: str) -> str:
+    """CTE text from ``tokh`` to ``<prefix>feat(doc_id, bucket)`` — the
+    union of the n = 1..ngram window-digest streams, bucketed with
+    Spark's pmod semantics (digest reinterpreted as i64)."""
+    from ..hashing import u64_to_i64_sql
+
+    B = int(n_buckets)
+    ctes, sels = [], []
+    for n in range(1, ngram + 1):
+        nm = f"{prefix}ng{n}"
+        ctes.append(_ngram_cte_sql(n, name=nm))
+        sels.append(
+            f"SELECT doc_id, (({u64_to_i64_sql('digest')} % {B}) + {B}) % {B}"
+            f" AS bucket FROM {nm}"
+        )
+    uni = " UNION ALL ".join(sels)
+    return ",\n    ".join(ctes + [f"{prefix}feat AS ({uni})"])
+
+
+def importance_weights_oracle_sql(
+    n_buckets: int = 10_000,
+    ngram: int = 2,
+    alpha: float = 1.0,
+    table: str = "documents",
+    target_table: str = "target",
+) -> str:
+    """DuckDB mirror of `importance_weights` with background = `table`:
+    identical tokenizer, bit-exact xxhash64 chain digests, the same
+    pmod bucketing and add-alpha log-ratio algebra."""
+    B = int(n_buckets)
+    a = float(alpha)
+    return f"""
+    WITH {tokhash_cte_sql(table)},
+    {_feat_cte_sql(ngram, B, "d")},
+    {tokhash_cte_sql(target_table).replace("tokh AS", "ttokh AS", 1)},
+    {_feat_cte_sql(ngram, B, "t").replace(" FROM tokh ", " FROM ttokh ")},
+    tcnt AS (SELECT bucket, count(*) AS cnt_t FROM tfeat GROUP BY 1),
+    bcnt AS (SELECT bucket, count(*) AS cnt_b FROM dfeat GROUP BY 1),
+    tot AS (SELECT (SELECT sum(cnt_t) FROM tcnt) AS tot_t,
+                   (SELECT sum(cnt_b) FROM bcnt) AS tot_b),
+    w AS (
+      SELECT coalesce(bcnt.bucket, tcnt.bucket) AS bucket,
+             ln((coalesce(cnt_t, 0) + {a}) / (tot_t + {a * B}))
+             - ln((coalesce(cnt_b, 0) + {a}) / (tot_b + {a * B})) AS weight
+      FROM bcnt FULL JOIN tcnt ON bcnt.bucket = tcnt.bucket, tot)
+    SELECT d.doc_id,
+           count(w.bucket) AS n_feat,
+           coalesce(sum(w.weight), 0.0) AS logratio
+    FROM (SELECT CAST({table}.doc_id AS BIGINT) AS doc_id FROM {table}) d
+    LEFT JOIN dfeat USING (doc_id)
+    LEFT JOIN w ON w.bucket = dfeat.bucket
+    GROUP BY 1"""
