@@ -128,10 +128,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 def decode_image_bytes(payload: bytes) -> np.ndarray:
     """Decode an image payload to (h, w, c) uint8: real BMP, JPEG
-    (baseline + progressive) and PNG parsing (all PNG depths/interlace;
+    (baseline + progressive), PNG parsing (all PNG depths/interlace;
     16-bit samples are downshifted to the top byte to keep the uint8
-    contract), the FIMG fake container for tests; codec variants beyond
-    those (arithmetic-coded JPEG, ...) stay unimplemented loudly."""
+    contract) and GIF (first composited frame; functions/gif.py decodes
+    full animations), the FIMG fake container for tests; codec variants
+    beyond those (arithmetic-coded JPEG, ...) stay unimplemented loudly."""
     if payload is None:
         return None
     if payload.startswith(b"BM"):
@@ -148,6 +149,11 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         if img.dtype == np.uint16:
             img = (img >> 8).astype(np.uint8)
         return img if img.ndim == 3 else img[:, :, None]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif import decode_gif
+
+        frames, _ = decode_gif(payload)
+        return frames[0]
     if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         from ..functions.tiff import decode_tiff
 
@@ -164,7 +170,7 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
         return np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=off).reshape(h, w, c)
     raise NotImplementedError(
         "unsupported image codec in this container; "
-        "expected BMP, baseline JPEG, PNG or FIMG"
+        "expected BMP, JPEG, PNG, GIF, TIFF or FIMG"
     )
 
 

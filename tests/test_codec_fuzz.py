@@ -12,6 +12,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from coastsat_spark.functions.gif import encode_gif
 from coastsat_spark.functions.jpeg import encode_jpeg
 from coastsat_spark.functions.png import encode_png
 from coastsat_spark.functions.tiff import encode_geotiff
@@ -36,6 +37,15 @@ def _decoders():
             MM.decode_image_bytes,
         ),
         "bmp": (MM.encode_bmp(img), MM.decode_bmp),
+        "gif": (
+            encode_gif(
+                np.stack([img[:, :, 0] % 16, img[:, :, 1] % 16]),
+                np.arange(48, dtype=np.uint8).reshape(16, 3),
+                delays_cs=[5, 5],
+                transparent=3,
+            ),
+            MM.decode_image_bytes,
+        ),
         "avi": (MM.encode_avi(np.stack([img, img])), MM.decode_avi),
         "wav": (MM.encode_wav(samples, sr), MM.decode_wav),
     }

@@ -20,9 +20,11 @@ def test_audio_roundtrip():
 
 
 def test_unimplemented_codecs_fail_loudly():
-    # JPEG/PNG/BMP/WAV are real now; formats beyond them stay loud stubs
+    # JPEG/PNG/GIF/BMP/TIFF/WAV are real now; formats beyond them stay
+    # loud stubs (WebP here; a corrupt GIF fails as ValueError instead,
+    # covered in test_gif.py)
     with pytest.raises(NotImplementedError):
-        MM.decode_image_bytes(b"GIF89a......")
+        MM.decode_image_bytes(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError):
         MM.decode_audio_bytes(b"RIFFxxxxWAVE")
 
