@@ -585,10 +585,10 @@ def video_table(spark, n: int = 100) -> DataFrame:
 def video_frame_features(
     videos: DataFrame, every: int = 2, on_error: str = "raise"
 ) -> DataFrame:
-    """Frame-sample video payloads: decode the AVI, keep every k-th
-    frame, emit per-frame channel means + brightness (UDTF-shaped
-    mapInPandas: one binary row -> n_frames/k feature rows — the video
-    analog of audio_frame_samples)."""
+    """Frame-sample video payloads: decode the AVI (or animated GIF),
+    keep every k-th frame, emit per-frame channel means + brightness
+    (UDTF-shaped mapInPandas: one binary row -> n_frames/k feature rows
+    — the video analog of audio_frame_samples)."""
     _check_on_error(on_error)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -596,7 +596,13 @@ def video_frame_features(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    _fps, frames = decode_avi(bytes(payload))
+                    raw = bytes(payload)
+                    if raw[:6] in (b"GIF87a", b"GIF89a"):
+                        from ..functions.gif import decode_gif
+
+                        frames, _delays = decode_gif(raw)
+                    else:
+                        _fps, frames = decode_avi(raw)
                 except Exception:
                     if on_error == "raise":
                         raise

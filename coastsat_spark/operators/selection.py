@@ -123,6 +123,94 @@ def importance_weights(
     )
 
 
+# ------------------------------------------------- URL blocklist filter
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/]*@)?([^/:?#]+)"
+
+
+def filter_url_blocklist(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Annotate documents against a domain blocklist with suffix
+    semantics: a blocklist entry `b.com` blocks `b.com` and every
+    subdomain (`a.b.com`), the standard URL-filter stage of
+    Common-Crawl pipelines (C4/RefinedWeb-style blocklists). Returns
+    one row per doc: (doc_id, host, blocked, matched_domain) with
+    matched_domain the LONGEST (most specific) blocklist entry that
+    matched, NULL when clean; compose with `.filter(~F.col("blocked"))`
+    to drop. Malformed URLs (no scheme/host) yield host = '' and are
+    never blocked — audit them separately.
+
+    Scale shape: blocklists are 10^4-10^6 domains — broadcast; the doc
+    side explodes each host into its <= label-count suffix chain
+    (bounded, typically <= 5) of 8-byte-ish strings, broadcast-joins,
+    and min-aggregates back to one row per doc. No shuffle of text or
+    URLs beyond the per-doc aggregate; host parsing is one JVM regexp.
+    """
+    host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"), host.alias("host"))
+    # suffix i (1-based) = labels i..n joined: i=1 is the full host, so
+    # smaller i = longer match
+    sufs = F.expr(
+        "transform(sequence(1, size(split(host, '[.]'))),"
+        " i -> struct(i AS rank, array_join(slice(split(host, '[.]'), i,"
+        " size(split(host, '[.]')) - i + 1), '.') AS suffix))"
+    )
+    bl = blocklist.select(F.lower(F.col(domain_col)).alias("suffix")).distinct()
+    hits = (
+        d.select("doc_id", F.explode_outer(sufs).alias("s"))
+        .select("doc_id", F.col("s.rank").alias("rank"), F.col("s.suffix").alias("suffix"))
+        .join(F.broadcast(bl), "suffix", "inner")
+        .groupBy("doc_id")
+        .agg(F.min_by("suffix", "rank").alias("matched_domain"))
+    )
+    return (
+        d.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            F.col("matched_domain").isNotNull().alias("blocked"),
+            "matched_domain",
+        )
+    )
+
+
+def filter_url_blocklist_oracle_sql(
+    table: str = "documents",
+    blocklist_table: str = "blocklist",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> str:
+    """DuckDB mirror of `filter_url_blocklist`: same host regexp, same
+    1-based suffix chain (string_split + list slicing), same
+    longest-match (min rank) semantics."""
+    return f"""
+    WITH d AS (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id,
+             lower(coalesce(regexp_extract({url_col},
+               '{_HOST_RE}', 1), '')) AS host
+      FROM {table}),
+    sufs AS (
+      SELECT doc_id, g.i AS rank,
+             array_to_string(list_slice(string_split(host, '.'), g.i,
+               len(string_split(host, '.'))), '.') AS suffix
+      FROM d, LATERAL (SELECT unnest(generate_series(1,
+             len(string_split(host, '.')))) AS i) g),
+    bl AS (SELECT DISTINCT lower({domain_col}) AS suffix FROM {blocklist_table}),
+    hits AS (
+      SELECT doc_id, min_by(suffix, rank) AS matched_domain
+      FROM sufs JOIN bl USING (suffix) GROUP BY 1)
+    SELECT d.doc_id, d.host,
+           hits.matched_domain IS NOT NULL AS blocked,
+           hits.matched_domain
+    FROM d LEFT JOIN hits USING (doc_id)"""
+
+
 def _feat_cte_sql(ngram: int, n_buckets: int, prefix: str) -> str:
     """CTE text from ``tokh`` to ``<prefix>feat(doc_id, bucket)`` — the
     union of the n = 1..ngram window-digest streams, bucketed with

@@ -132,3 +132,25 @@ def test_malformed_inputs_raise_cleanly():
     bad = bytearray(payload)
     with pytest.raises(Exception):
         decode_gif(bytes(bad[: len(bad) // 2]))
+
+
+def test_video_frame_features_accepts_gif(spark):
+    """Animated GIFs flow through the same frame-sampling operator as
+    AVI: one binary row -> n_frames/every feature rows."""
+    import pandas as pd
+
+    from coastsat_spark.operators.multimodal import video_frame_features
+
+    rng = _rng()
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    anim = rng.integers(0, 8, size=(6, 9, 11), dtype=np.uint8)
+    payload = encode_gif(anim, pal, delays_cs=[4] * 6)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [7], "payload": [payload]})
+    )
+    got = video_frame_features(df, every=2).toPandas().sort_values("frame_idx")
+    assert list(got.frame_idx) == [0, 2, 4]
+    exp0 = pal[anim[0]].reshape(-1, 3).mean(axis=0)
+    np.testing.assert_allclose(
+        got.iloc[0][["mean_r", "mean_g", "mean_b"]].to_numpy(float), exp0
+    )

@@ -115,3 +115,82 @@ def test_importance_weights_plan_shape(corpus):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the scoring join itself is broadcast, not a sort-merge over doc feats
     assert re.search(r"BroadcastHashJoin .*bucket", plan) or "BroadcastHashJoin" in plan
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "url": [
+                "https://spam.example/page",            # exact match
+                "https://sub.spam.example/x?q=1",       # subdomain of entry
+                "http://clean.org/a",                   # clean
+                "https://deep.a.b.ads.net:8443/t",      # port + deep subdomain
+                "https://user:pw@spam.example/auth",    # userinfo
+                "HTTPS://SPAM.EXAMPLE/UPPER",           # scheme/host case
+                "not-a-url",                            # malformed: no scheme
+                "ftp://tracker.ads.net/f",              # other scheme
+                "https://spamexample.com/",             # NOT a suffix match
+                "https://x.specific.spam.example/",     # longest-match probe
+            ],
+        }
+    )
+    bl = pd.DataFrame(
+        {"domain": ["spam.example", "ads.net", "Specific.SPAM.example"]}
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    con.register("blocklist", bl)
+    return pdf, spark.createDataFrame(pdf), spark.createDataFrame(bl), con
+
+
+def test_url_blocklist_oracle_parity(urls):
+    pdf, docs, bl, con = urls
+    got = (
+        selection.filter_url_blocklist(docs, bl)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        con.execute(selection.filter_url_blocklist_oracle_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(pdf)
+    np.testing.assert_array_equal(
+        got.doc_id.to_numpy(np.int64), exp.doc_id.to_numpy(np.int64)
+    )
+    assert list(got.host) == list(exp.host)
+    np.testing.assert_array_equal(got.blocked.to_numpy(bool), exp.blocked.to_numpy(bool))
+    assert list(got.matched_domain.fillna("-")) == list(exp.matched_domain.fillna("-"))
+
+
+def test_url_blocklist_semantics(urls):
+    _, docs, bl, _ = urls
+    g = (
+        selection.filter_url_blocklist(docs, bl)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(g.loc[0, "blocked"]) and g.loc[0, "matched_domain"] == "spam.example"
+    assert bool(g.loc[1, "blocked"]) and g.loc[1, "matched_domain"] == "spam.example"
+    assert not bool(g.loc[2, "blocked"]) and g.loc[2, "matched_domain"] is None
+    # port and deep subdomain still match the registrable suffix
+    assert bool(g.loc[3, "blocked"]) and g.loc[3, "matched_domain"] == "ads.net"
+    assert g.loc[3, "host"] == "deep.a.b.ads.net"
+    # userinfo stripped; case-insensitive both sides
+    assert bool(g.loc[4, "blocked"]) and g.loc[4, "host"] == "spam.example"
+    assert bool(g.loc[5, "blocked"]) and g.loc[5, "host"] == "spam.example"
+    # malformed URL: empty host, never blocked
+    assert g.loc[6, "host"] == "" and not bool(g.loc[6, "blocked"])
+    assert bool(g.loc[7, "blocked"])  # ftp scheme parses too
+    # "spamexample.com" is NOT blocked by "spam.example" (label suffix,
+    # not string suffix)
+    assert not bool(g.loc[8, "blocked"])
+    # longest (most specific) entry wins
+    assert g.loc[9, "matched_domain"] == "specific.spam.example"

@@ -61,8 +61,13 @@ def minhash_assign():
     out = dedup.minhash_dedup_assign(sub, k=64, bands=8, max_iters=3)
     return out.filter(F.col("canonical_id") != F.col("doc_id")).count()
 
+def pack():
+    from coastsat_spark.operators import packing
+    sub = docs.select(F.xxhash64("url").alias("doc_id"), "text")
+    return packing.pack_sequences(sub, ctx_len=2048, n_shards=64).count()
+
 all_jobs = {{"flagship": (flagship, trials), "text_extract": (text_extract, trials),
-             "minhash_assign": (minhash_assign, trials)}}
+             "minhash_assign": (minhash_assign, trials), "pack": (pack, trials)}}
 only = {only!r}
 jobs = {{k: v for k, v in all_jobs.items() if not only or k in only}}
 times = {{}}
