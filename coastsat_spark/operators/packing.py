@@ -33,7 +33,11 @@ import math
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-_TOKCOUNT = "size(regexp_extract_all(lower({col}), '[a-z]+|[0-9]+', 0))"
+# regexp_count, NOT size(regexp_extract_all(...)): the count is identical
+# (same non-overlapping matches) but counting materializes no token-array
+# — at 24M docs/32 threads the array allocation churn alone was the
+# single biggest scaling drag on this op (measured: BENCH/scaling_pack*).
+_TOKCOUNT = "regexp_count(lower({col}), '[a-z]+|[0-9]+')"
 
 
 # ------------------------------------------------------ sequence packing
