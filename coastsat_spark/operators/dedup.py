@@ -956,6 +956,7 @@ def duplicate_spans(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    strategy: str = "window",
 ) -> DataFrame:
     """Substring-level duplicate spans (the Lee et al. 2022
     'Deduplicating Training Data Makes Language Models Better' shape,
@@ -965,20 +966,34 @@ def duplicate_spans(
     maximal spans. Returns (doc_id, span_start, span_end, span_tokens)
     with half-open token-index spans [span_start, span_end).
 
-    Scale shape: ONE scan of the document table (the cross-doc test is
-    min(doc_id) <> max(doc_id) as whole-partition window functions over
-    the 8-byte digest — no second scan for a join-back, no
-    count-distinct state); document text never shuffles, only (id, pos,
-    digest) triples; the interval merge is a gaps-and-islands window
-    over (doc_id, pos) — start a new span when the gap to the previous
+    Two physically different, result-identical strategies:
+
+    * ``strategy="window"`` (default) — ONE scan of the document table:
+      the cross-doc test is min(doc_id) <> max(doc_id) as
+      whole-partition window functions over the 8-byte digest; no
+      second scan for a join-back. The cost is the window's skew
+      ceiling: a universally hot digest (site boilerplate shared by
+      millions of docs) lands ALL its rows on one task, and a window
+      partition — unlike a join — cannot be split by AQE.
+    * ``strategy="agg"`` — skew-immune: the cross-doc test is a
+      map-side-combined groupBy(digest).agg(min, max) (a hot digest
+      contributes ONE partial row per upstream task), and matched
+      digests join back to the position stream with a plain shuffled
+      hash join that AQE's skew-join splitting CAN carve up. The cost
+      is a second tokenize+digest pass over the text (the join probe
+      re-derives the triples; persisting them at 100 TB is not an
+      option). Pick "agg" when the corpus has heavy boilerplate.
+
+    In both: document text never shuffles, only (id, pos, digest)
+    triples; the interval merge is a gaps-and-islands window over
+    (doc_id, pos) — start a new span when the gap to the previous
     matched window start exceeds k — entirely JVM window functions.
-    A universally hot digest (boilerplate) lands on one task like any
-    digest-keyed aggregate would; cap upstream with a doc-frequency cut
-    (the `jaccard_pairs` max_doc_freq pattern) if the corpus has one.
     Within-doc repetition intentionally does NOT flag (cross-doc only,
     like the suffix-array dedup it approximates); `repetition_stats`
     covers the within-doc signal.
     """
+    if strategy not in ("window", "agg"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     g = (
         docs.select(F.col(id_col), token_hashes_col(text_col).alias("_th"))
         .select(
@@ -986,13 +1001,22 @@ def duplicate_spans(
             F.posexplode(ngram_digest_expr("_th", k)).alias("pos", "digest"),
         )
     )
-    wd = Window.partitionBy("digest")
-    m = (
-        g.withColumn("_lo", F.min(id_col).over(wd))
-        .withColumn("_hi", F.max(id_col).over(wd))
-        .filter(F.col("_lo") != F.col("_hi"))
-        .select(id_col, "pos")
-    )
+    if strategy == "agg":
+        dup = (
+            g.groupBy("digest")
+            .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("digest")
+        )
+        m = g.join(dup, "digest").select(id_col, "pos")
+    else:
+        wd = Window.partitionBy("digest")
+        m = (
+            g.withColumn("_lo", F.min(id_col).over(wd))
+            .withColumn("_hi", F.max(id_col).over(wd))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select(id_col, "pos")
+        )
     w = Window.partitionBy(id_col).orderBy("pos")
     return (
         m.withColumn(
@@ -1037,3 +1061,99 @@ def duplicate_spans_oracle_sql(k: int = 8, table: str = "documents") -> str:
            max(pos) + {k} AS span_end,
            max(pos) + {k} - min(pos) AS span_tokens
     FROM sp GROUP BY doc_id, span_id"""
+
+
+# --------------------------------------------- paragraph-level dedup
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    sep: str = "\n",
+    min_chars: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph/line-level exact dedup across the corpus (the CCNet /
+    RefinedWeb line-wise dedup stage: every repeated paragraph is
+    removed everywhere except its globally first occurrence). Documents
+    are split on `sep`, paragraphs trimmed, and those shorter than
+    `min_chars` dropped (their indexes still count, so `para_idx` maps
+    back into the original split). Returns one row per surviving
+    paragraph occurrence:
+
+      (doc_id, para_idx, n_chars, df, keep)
+
+    where `df` is the paragraph's corpus-wide occurrence count and
+    `keep` marks the single occurrence with the smallest
+    (doc_id, para_idx) — the deterministic keeper. Filtering to
+    keep=true and re-joining on doc_id (co-partitioned; paragraph text
+    is re-derived from the doc at write time) materializes the cleaned
+    corpus.
+
+    Scale shape: paragraph text is digested (sha256) in the scan and
+    never shuffles — only (doc_id, para_idx, n_chars, digest) rows
+    move; the keeper election is a map-side-combined
+    groupBy(digest).agg(min(struct(doc_id, para_idx)), count) — a
+    universally hot paragraph (boilerplate on millions of pages)
+    contributes ONE partial row per upstream task, and the flag
+    join-back is a plain shuffled hash join AQE skew-splitting can
+    carve (deliberately the skew-immune `duplicate_spans(strategy=
+    "agg")` shape, not a row_number window that would pin a hot digest
+    to one task). No reference analog (CoastSat has no text layer) —
+    extends the LLM-pipeline dedup family.
+    """
+    p = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "_para"),
+        )
+        .withColumn("_para", F.trim(F.col("_para")))
+        .filter(F.length("_para") >= int(min_chars))
+        .select(
+            id_col,
+            F.col("para_idx").cast("long").alias("para_idx"),
+            F.length("_para").cast("long").alias("n_chars"),
+            F.sha2(F.col("_para"), 256).alias("_digest"),
+        )
+    )
+    first = p.groupBy("_digest").agg(
+        F.min(F.struct(F.col(id_col).alias("fid"), F.col("para_idx").alias("fpx"))).alias("_first"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    return p.join(first, "_digest").select(
+        id_col,
+        "para_idx",
+        "n_chars",
+        "df",
+        (
+            (F.col("_first.fid") == F.col(id_col))
+            & (F.col("_first.fpx") == F.col("para_idx"))
+        ).alias("keep"),
+    )
+
+
+def dedup_paragraphs_oracle_sql(
+    sep: str = "\n", min_chars: int = 1, table: str = "documents"
+) -> str:
+    """DuckDB mirror of `dedup_paragraphs`: same regex split (trailing
+    empties kept by both engines, so pre-filter indexes agree), same
+    trim + length gate, grouped by the paragraph TEXT itself (equal to
+    grouping by its sha256 digest), keeper via row_number — fine at
+    oracle scale where skew is irrelevant."""
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(ps, 1) - 1 AS BIGINT) AS para_idx,
+             trim(unnest(ps)) AS para
+      FROM (SELECT doc_id, regexp_split_to_array(text, '{sep}') AS ps
+            FROM {table} WHERE text IS NOT NULL)),
+    q AS (
+      SELECT doc_id, para_idx, CAST(length(para) AS BIGINT) AS n_chars, para
+      FROM p WHERE length(para) >= {int(min_chars)}),
+    f AS (
+      SELECT doc_id, para_idx, n_chars,
+             count(*) OVER (PARTITION BY para) AS df,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+      FROM q)
+    SELECT doc_id, para_idx, n_chars, CAST(df AS BIGINT) AS df, rn = 1 AS keep
+    FROM f"""
