@@ -51,14 +51,14 @@ def _parquet_rows(path: str) -> int:
     import glob as _glob
     import os as _os
 
-    import pyarrow.parquet as _pq
+    from coastsat_spark.operators.sinks import _parquet_footer_rows
 
     files = (
         sorted(_glob.glob(_os.path.join(path, "*.parquet")))
         if _os.path.isdir(path)
         else [path]
     )
-    return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    return sum(_parquet_footer_rows(f) for f in files)
 
 
 def _epoch(col):

@@ -290,6 +290,11 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, list[int]]:
             keep = idx == transparent
             rgb = np.where(keep[:, :, None], region, rgb)
         canvas[top : top + fh, left : left + fw] = rgb
+        # total-output bound: every frame materializes a full logical-screen
+        # copy, so a small file declaring a huge screen + many tiny frames
+        # would otherwise multiply past the per-image cap (decode_avi's
+        # frames= guard, applied cumulatively here)
+        check_dims(w, h, "GIF animation", frames=len(frames) + 1)
         frames.append(canvas.copy())
         delays.append(delay)
         if disposal == 2:

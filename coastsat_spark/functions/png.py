@@ -168,9 +168,10 @@ def _pass_geometry(w: int, h: int, interlace: int):
 
 
 def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
-    """Encode (h, w) grey, (h, w, 3) RGB or (h, w, 4) RGBA as PNG with
-    per-row adaptive filtering. uint8 input writes bit depth 8; uint16
-    writes 16 (big-endian samples). `interlace=True` writes Adam7."""
+    """Encode (h, w) grey, (h, w, 2) grey+alpha, (h, w, 3) RGB or
+    (h, w, 4) RGBA as PNG with per-row adaptive filtering. uint8 input
+    writes bit depth 8; uint16 writes 16 (big-endian samples).
+    `interlace=True` writes Adam7."""
     img = np.asarray(img)
     if img.dtype == np.uint16:
         depth = 16
@@ -180,9 +181,9 @@ def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
-    ctype = {1: 0, 3: 2, 4: 6}.get(c)
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
     if ctype is None:
-        raise NotImplementedError(f"{c}-channel PNG encode (1, 3 or 4)")
+        raise NotImplementedError(f"{c}-channel PNG encode (1, 2, 3 or 4)")
     bpp = c * depth // 8
     stream = bytearray()
     for x0, y0, dx, dy, pw, ph in _pass_geometry(w, h, 1 if interlace else 0):

@@ -306,12 +306,21 @@ def image_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
                     if on_error == "raise":
                         raise
                     continue
-                means = im.reshape(-1, im.shape[2]).mean(axis=0)
+                c = im.shape[2]
+                means = im.reshape(-1, c).mean(axis=0)
+                if c >= 3:
+                    mr, mg, mb = (float(means[j]) for j in range(3))
+                    bright = float(means.mean())
+                else:
+                    # grayscale / grey+alpha (1-2 channels): channel 0 is
+                    # the luma plane — report it as r=g=b and as the
+                    # brightness (alpha excluded), instead of indexing
+                    # past the channel axis
+                    mr = mg = mb = bright = float(means[0])
                 out.append(
                     (
-                        int(mid), im.shape[1], im.shape[0], im.shape[2],
-                        float(means[0]), float(means[1]), float(means[2]),
-                        float(means.mean()),
+                        int(mid), im.shape[1], im.shape[0], c,
+                        mr, mg, mb, bright,
                     )
                 )
             yield pd.DataFrame(
@@ -546,13 +555,15 @@ def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
         raise NotImplementedError("AVI has no vids stream format / frames")
     if bpp != 24 or comp != 0:
         raise NotImplementedError(f"only 24-bit uncompressed DIB AVI (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0  # negative biHeight = top-down DIB (same as decode_bmp)
     h = abs(h)
     check_dims(w, h, "AVI strf", frames=len(frames))
     rowsize = (w * 3 + 3) & ~3
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
     for i, fb in enumerate(frames):
         arr = np.frombuffer(fb, np.uint8, rowsize * h).reshape(h, rowsize)
-        out[i] = arr[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # bottom-up BGR -> RGB
+        rgb = arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        out[i] = rgb[::-1] if bottom_up else rgb
     return fps, out
 
 

@@ -197,6 +197,8 @@ def mix_domains(
     scan → broadcast-join → explode). The hash threshold is integer
     (frac scaled to 2^20), so the DuckDB mirror is bit-exact.
     """
+    if default_weight < 0:
+        raise ValueError("negative default_weight")
     rows = []
     for dom, wgt in weights.items():
         if wgt < 0:
@@ -251,6 +253,8 @@ def mix_domains_oracle_sql(
     floor/frac algebra, generate_series for the copy explode."""
     from ..hashing import staged_sql, u64_to_i64_sql, xxh64_longs_chain_steps
 
+    if default_weight < 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("negative weight")
     vals = ", ".join(
         f"('{dom}', {int(math.floor(w))}, "
         f"{int(round((w - math.floor(w)) * _MIX_RESOLUTION))})"

@@ -113,12 +113,23 @@ def importance_weights(
         )
     )
     feats = _doc_buckets(docs, B, ngram, text_col, id_col)
+    # a bucket absent from BOTH models (possible when `background` is a
+    # sample rather than `docs` itself) still has the smoothed score
+    # ln(a/(tot_t+aB)) - ln(a/(tot_b+aB)) = ln((tot_b+aB)/(tot_t+aB)),
+    # not 0 — coalesce missing weights to that constant; NULL buckets
+    # (token-less docs) contribute nothing
+    aB = F.lit(float(alpha * B))
+    unseen = F.log((F.col("tot_b") + aB) / (F.col("tot_t") + aB))
+    contrib = F.when(F.col("bucket").isNull(), F.lit(0.0)).otherwise(
+        F.coalesce(F.col("weight"), unseen)
+    )
     return (
         feats.join(F.broadcast(w), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(
             F.count("bucket").alias("n_feat"),
-            F.coalesce(F.sum("weight"), F.lit(0.0)).alias("logratio"),
+            F.coalesce(F.sum(contrib), F.lit(0.0)).alias("logratio"),
         )
     )
 

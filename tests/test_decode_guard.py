@@ -171,3 +171,21 @@ def test_packbits_expected_cap_unit():
     assert 64 <= len(out) <= 64 + 128
     # and unbounded when expected is None (back-compat)
     assert len(packbits_decode(b"\x81\xab" * 3)) == 384
+
+
+def test_gif_animation_cumulative_bound(monkeypatch):
+    """Every decoded GIF frame materializes a full logical-screen copy,
+    so the cap must bound screen_px x n_frames, not just one canvas: a
+    tiny file with many frames on a big screen raises cleanly instead
+    of OOM-ing the executor."""
+    from coastsat_spark.functions import _guard, gif
+
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    frames = np.zeros((6, 8, 8), dtype=np.uint8)  # 64 px screen, 6 frames
+    payload = gif.encode_gif(frames, pal)
+    got, _ = gif.decode_gif(payload)
+    assert got.shape == (6, 8, 8, 3)
+    # cap allows the screen and 4 frames, not 5+
+    monkeypatch.setattr(_guard, "MAX_DECODE_PIXELS", 64 * 4)
+    with pytest.raises(ValueError, match="GIF animation.*implausible"):
+        gif.decode_gif(payload)

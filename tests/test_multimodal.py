@@ -384,3 +384,41 @@ def test_on_error_skip_quarantines_corrupt_payloads(spark):
         MM.image_features(media).toPandas()
     with pytest.raises(ValueError, match="on_error"):
         MM.image_features(media, on_error="ignore")
+
+
+def test_image_features_grayscale(spark):
+    """1- and 2-channel images (grayscale JPEG, grey+alpha PNG) must not
+    crash image_features: channel 0 is reported as r=g=b=brightness."""
+    from coastsat_spark.functions.jpeg import encode_jpeg
+    from coastsat_spark.functions.png import encode_png
+
+    grey = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    ga = np.dstack([grey, np.full((8, 8), 9, np.uint8)])  # grey+alpha
+    media = spark.createDataFrame(
+        [(1, "image", encode_jpeg(grey)), (2, "image", encode_png(ga))],
+        "media_id long, kind string, payload binary",
+    )
+    f = MM.image_features(media).toPandas().set_index("media_id").sort_index()
+    assert list(f["channels"]) == [1, 2]
+    for mid in (1, 2):
+        r = f.loc[mid]
+        assert r.mean_r == r.mean_g == r.mean_b == r.brightness
+    # JPEG is lossy but the mean must sit near the true grey mean
+    assert abs(f.loc[1, "brightness"] - grey.mean()) < 3.0
+    assert abs(f.loc[2, "brightness"] - grey.mean()) < 1e-9
+
+
+def test_decode_avi_top_down():
+    """Negative biHeight = top-down DIB: rows must NOT be flipped (same
+    convention as decode_bmp), so the two orientations mirror each other."""
+    import struct as _st
+
+    payload = bytearray(MM.make_avi_video(7, w=6, h=4, n_frames=3))
+    _, up = MM.decode_avi(bytes(payload))
+    off = bytes(payload).index(b"strf") + 8 + 8  # strf body: hsz, w, THEN h
+    (h,) = _st.unpack_from("<i", payload, off)
+    assert h == 4
+    _st.pack_into("<i", payload, off, -h)
+    fps, down = MM.decode_avi(bytes(payload))
+    assert down.shape == up.shape
+    np.testing.assert_array_equal(down, up[:, ::-1])

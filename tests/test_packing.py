@@ -176,3 +176,11 @@ def test_mix_domains_no_shuffle(corpus):
     assert "BroadcastExchange" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:3000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_domains_negative_default_rejected(corpus):
+    _, docs, _ = corpus
+    with pytest.raises(ValueError, match="negative"):
+        packing.mix_domains(docs, {"en": 1.0}, default_weight=-0.5)
+    with pytest.raises(ValueError, match="negative"):
+        packing.mix_domains_oracle_sql({"en": 1.0}, default_weight=-0.5)

@@ -194,3 +194,28 @@ def test_url_blocklist_semantics(urls):
     assert not bool(g.loc[8, "blocked"])
     # longest (most specific) entry wins
     assert g.loc[9, "matched_domain"] == "specific.spam.example"
+
+
+def test_importance_weights_unseen_bucket_constant(spark):
+    """A bucket absent from BOTH models (sampled background) scores the
+    smoothed constant ln((tot_b+aB)/(tot_t+aB)), not 0 (review fix)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "xray yankee zulu"), (1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    background = docs.filter("doc_id >= 1")  # doc 0's tokens unseen anywhere
+    g = (
+        selection.importance_weights(
+            docs, target, background=background, n_buckets=10_000, ngram=1
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    tot_t, tot_b, aB = 2, 5, 10_000.0
+    expect = 3 * math.log((tot_b + aB) / (tot_t + aB))
+    assert g.loc[0, "n_feat"] == 3
+    np.testing.assert_allclose(g.loc[0, "logratio"], expect, rtol=1e-9)
