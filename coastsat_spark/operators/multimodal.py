@@ -7,7 +7,9 @@ batch shapes, deterministic synthetic payloads — is real and tested.
 REAL codecs (pure-NumPy struct parsing, no libraries needed):
   - BMP: uncompressed 24-bit BI_RGB (bottom-up or top-down rows, 4-byte
     row padding) — encode + decode;
-  - WAV: RIFF PCM mono 16-bit (chunk-walking parser) — encode + decode;
+  - WAV: RIFF mono — PCM 16-bit, G.711 mu-law/A-law and IMA ADPCM
+    (chunk-walking parser; real codecs in functions/audio.py) —
+    encode + decode;
   - JPEG: baseline sequential (SOF0) AND progressive (SOF2: spectral
     selection, successive approximation, EOB runs) DCT
     (functions/jpeg.py — Huffman, quant, zigzag, IDCT, 4:4:4/4:2:0,
@@ -26,7 +28,7 @@ REAL codecs (pure-NumPy struct parsing, no libraries needed):
     '00db' frames with BMP row conventions) — encode + decode, with
     `video_frame_features` frame sampling.
 PNG covers bit depths 1-16 and Adam7 interlacing (functions/png.py).
-Arithmetic-coded/12-bit JPEG, audio codecs beyond WAV (MP3/...) and
+Arithmetic-coded/12-bit JPEG, perceptual audio codecs (MP3/AAC/...) and
 compressed video stay honestly STUBBED with NotImplementedError.
 
 A deterministic FAKE container format remains supported for tests:
@@ -93,35 +95,78 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return (img[::-1] if bottom_up else img).copy()
 
 
-def encode_wav(samples: np.ndarray, sr: int) -> bytes:
-    """Encode int16 mono samples as a RIFF PCM WAV."""
-    data = np.asarray(samples).astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+def encode_wav(samples: np.ndarray, sr: int, codec: str = "pcm") -> bytes:
+    """Encode int16 mono samples as a RIFF WAV. `codec` picks the
+    compression: 'pcm' (tag 1, 16-bit — byte layout unchanged from the
+    original PCM-only encoder), 'ulaw' / 'alaw' (G.711, tag 7 / 6,
+    8-bit) or 'ima' (IMA ADPCM, tag 0x11, 4-bit blocks + fact chunk)."""
+    x = np.asarray(samples).astype(np.int16)
+    fact = b""
+    if codec == "pcm":
+        data = x.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    elif codec in ("ulaw", "alaw"):
+        from ..functions.audio import alaw_encode, mulaw_encode
+
+        enc = mulaw_encode if codec == "ulaw" else alaw_encode
+        data = enc(x).tobytes()
+        fmt = struct.pack("<HHIIHH", 7 if codec == "ulaw" else 6, 1, sr, sr, 1, 8)
+    elif codec == "ima":
+        from ..functions.audio import ima_adpcm_encode
+
+        ba = 256
+        data, n = ima_adpcm_encode(x, ba)
+        spb = (ba - 4) * 2 + 1
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, 1, sr, sr * ba // spb, ba, 4, 2, spb
+        )
+        fact = b"fact" + struct.pack("<II", 4, n)
+    else:
+        raise ValueError(f"unknown WAV codec {codec!r}")
+    pad = b"\x00" if len(data) & 1 else b""  # RIFF pad, outside the chunk size
     return (
-        b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + len(data)) + b"WAVE"
-        + b"fmt " + struct.pack("<I", 16) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + len(fact) + 8 + len(data) + len(pad))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + fact
+        + b"data" + struct.pack("<I", len(data)) + data + pad
     )
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode a RIFF PCM mono 16-bit WAV (chunk-walking parser)."""
+    """Decode a RIFF mono WAV to (sample_rate, int16 samples):
+    PCM 16-bit (tag 1), G.711 mu-law / A-law (tags 7 / 6) and IMA ADPCM
+    (tag 0x11) — chunk-walking parser, real codecs in functions/audio.py."""
     if payload[8:12] != b"WAVE":
         raise NotImplementedError("RIFF container is not WAVE")
-    pos, sr = 12, None
+    pos, sr, tag, ba, n_samples = 12, None, None, 0, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         sz = struct.unpack_from("<I", payload, pos + 4)[0]
         if cid == b"fmt ":
-            tag, nch, sr, _br, _ba, bps = struct.unpack_from("<HHIIHH", payload, pos + 8)
-            if tag != 1 or nch != 1 or bps != 16:
+            tag, nch, sr, _br, ba, bps = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            ok = {1: 16, 6: 8, 7: 8, 0x11: 4}
+            if tag not in ok or nch != 1 or bps != ok[tag]:
                 raise NotImplementedError(
-                    f"only PCM mono 16-bit WAV supported (tag={tag}, ch={nch}, bps={bps})"
+                    f"only mono PCM-16 / G.711 / IMA-ADPCM WAV (tag={tag},"
+                    f" ch={nch}, bps={bps})"
                 )
+        elif cid == b"fact" and sz >= 4:
+            n_samples = struct.unpack_from("<I", payload, pos + 8)[0]
         elif cid == b"data":
             if sr is None:
                 raise NotImplementedError("WAV data chunk before fmt chunk")
-            return sr, np.frombuffer(payload, "<i2", sz // 2, pos + 8)
+            body = payload[pos + 8 : pos + 8 + sz]
+            if tag == 1:
+                return sr, np.frombuffer(body, "<i2", len(body) // 2)
+            from ..functions import audio
+
+            if tag == 7:
+                return sr, audio.mulaw_decode(np.frombuffer(body, np.uint8))
+            if tag == 6:
+                return sr, audio.alaw_decode(np.frombuffer(body, np.uint8))
+            return sr, audio.ima_adpcm_decode(body, ba, n_samples)
         pos += 8 + sz + (sz & 1)
     raise NotImplementedError("WAV has no data chunk")
 
