@@ -1119,9 +1119,10 @@ def q_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # image decode/feature-extract + audio frame-sampling over binary
     # media columns, unioned into one driver row; payloads are REAL file
-    # formats (24-bit BMP / RIFF PCM WAV) decoded by the engine's own
-    # pure-NumPy struct parsers — compressed codecs remain the documented
-    # NotImplementedError stub
+    # formats (24-bit BMP; WAV cycling PCM / G.711 mu-law / A-law /
+    # IMA ADPCM by media_id%8) decoded by the engine's own pure-NumPy
+    # codecs — the oracle replays every decoded stream exactly
+    # (G.711 integer segment algebra, ADPCM recursive-CTE state walk)
     from coastsat_spark.operators.multimodal import (
         GEOTIFF_BANDS,
         audio_frame_samples,

@@ -272,19 +272,25 @@ def make_jpeg_image(
     )
 
 
-def make_wav_audio(idx: int, sr: int = 8000, n: int = 1600) -> bytes:
-    """Deterministic REAL RIFF PCM WAV payload (same sine as the fake)."""
+def make_wav_audio(idx: int, sr: int = 8000, n: int = 1600, codec: str = "pcm") -> bytes:
+    """Deterministic REAL RIFF WAV payload (same sine as the fake), in
+    any of the four supported compressions."""
     t = np.arange(n, dtype=np.float64)
     f = 100.0 + (idx % 40) * 10.0
     samples = (np.sin(2 * np.pi * f * t / sr) * 10000).astype("<i2")
-    return encode_wav(samples, sr)
+    return encode_wav(samples, sr, codec=codec)
+
+
+_WAV_CODEC_BY_MOD8 = {1: "pcm", 3: "ulaw", 5: "alaw", 7: "ima"}
 
 
 def media_table(spark, n: int = 1000) -> DataFrame:
     """Deterministic synthetic media table: (media_id, kind, payload,
     width, height, channels, sample_rate, n_samples). Payloads are REAL
-    file formats (24-bit BMP / PCM WAV), decoded by the engine's own
-    struct parsers."""
+    file formats decoded by the engine's own struct parsers — 24-bit BMP
+    images, and WAV audio cycling through all four compressions by
+    media_id % 8 (1 PCM, 3 G.711 mu-law, 5 A-law, 7 IMA ADPCM), so the
+    driver oracle exercises every audio codec end to end."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -294,7 +300,8 @@ def media_table(spark, n: int = 1000) -> DataFrame:
                 if i % 2 == 0:
                     rows.append((int(i), "image", make_bmp_image(int(i)), 16, 12, 3, None, None))
                 else:
-                    rows.append((int(i), "audio", make_wav_audio(int(i)), None, None, None, 8000, 1600))
+                    wav = make_wav_audio(int(i), codec=_WAV_CODEC_BY_MOD8[int(i) % 8])
+                    rows.append((int(i), "audio", wav, None, None, None, 8000, 1600))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -882,11 +889,28 @@ def multimodal_oracle_sql(n: int = 500) -> str:
     doubles, both engines); brightness replays numpy's mean-of-3-means
     order ((m_r+m_g)+m_b)/3; sine samples replay numpy's operand order
     ((2*pi*f)*t)/sr and truncate-toward-zero int16 cast (numpy astype —
-    DuckDB CAST rounds, hence TRUNC)."""
+    DuckDB CAST rounds, hence TRUNC). Audio payloads cycle the four WAV
+    codecs by media_id % 8, and the oracle replays each DECODED stream
+    exactly: G.711 mu-law/A-law as pure integer segment algebra
+    (verified over all 65536 int16 values in tests), IMA ADPCM as a
+    recursive CTE walking each 505-sample block's (predictor, step
+    index) state — the bit-exact mirror of functions/audio.py, encoder
+    and decoder state being identical by construction."""
     w, h, sr, nsamp, frame = 16, 12, 8000, 1600, 200
     npx = w * h * 3
+    from ..functions.audio import _STEP_TABLE
+
+    spb = (256 - 4) * 2 + 1  # encode_wav's ima block_align=256 -> 505
+    step_vals = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(_STEP_TABLE))
+    # segment = count of chord boundaries below the magnitude — the same
+    # seven boundaries for mu-law (searchsorted on _MU_SEG[:-1]) and
+    # A-law (_A_SEG), since only the magnitude definition differs
+    g711_seg = " + ".join(
+        f"CASE WHEN mag > {b} THEN 1 ELSE 0 END"
+        for b in (0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF)
+    )
     return f"""
-        WITH ids AS (SELECT i AS media_id FROM generate_series(0, {n - 1}) t(i)),
+        WITH RECURSIVE ids AS (SELECT i AS media_id FROM generate_series(0, {n - 1}) t(i)),
         smsrc AS (
           SELECT media_id, j
           FROM ids, generate_series(0, {npx - 1}) p(j)
@@ -912,11 +936,90 @@ def multimodal_oracle_sql(n: int = 500) -> str:
           FROM ids, generate_series(0, {nsamp - 1}) g(t)
           WHERE media_id % 2 = 1
         ),
+        -- G.711 roundtrip (media_id%8 = 3 mu-law, 5 A-law): encode
+        -- segment/mantissa then exact table decode, all integer
+        g1 AS (
+          SELECT media_id, t, s, media_id % 8 = 3 AS is_mu FROM aud
+          WHERE media_id % 8 IN (3, 5)),
+        g2 AS (
+          SELECT media_id, t, is_mu,
+                 CASE WHEN is_mu THEN CASE WHEN s < 0 THEN 1 ELSE 0 END
+                      ELSE CASE WHEN s >= 0 THEN 1 ELSE 0 END END AS sgn,
+                 CASE WHEN is_mu THEN least(abs(s), 32635) + 132
+                      ELSE least(CASE WHEN s >= 0 THEN s ELSE -s - 1 END, 32767)
+                 END AS mag
+          FROM g1),
+        g3 AS (SELECT *, {g711_seg} AS seg FROM g2),
+        g4 AS (
+          SELECT *, CASE WHEN NOT is_mu AND seg < 1 THEN (mag >> 4) & 15
+                         ELSE (mag >> (seg + 3)) & 15 END AS mant
+          FROM g3),
+        g711 AS (
+          SELECT media_id, t,
+                 CASE WHEN is_mu THEN
+                        (CASE WHEN sgn = 1 THEN -1 ELSE 1 END)
+                        * ((((mant << 3) + 132) << seg) - 132)
+                      ELSE
+                        (CASE WHEN sgn = 1 THEN 1 ELSE -1 END)
+                        * (CASE WHEN seg = 0 THEN (mant << 4) + 8
+                                ELSE ((mant << 4) + 264) << (seg - 1) END)
+                 END AS dec
+          FROM g4),
+        -- IMA ADPCM roundtrip (media_id%8 = 7): encoder and decoder
+        -- share (predictor, step-index) state, so one recursion over
+        -- each {spb}-sample block replays the decoded stream exactly
+        imasteps(i, st) AS (VALUES {step_vals}),
+        imasamp AS (
+          SELECT media_id, t, s, t // {spb} AS blk, t % {spb} AS tt
+          FROM aud WHERE media_id % 8 = 7),
+        imahead AS (
+          SELECT a.media_id, a.blk, a.s AS pred0,
+                 least((SELECT count(*) FROM imasteps
+                        WHERE st < abs(coalesce(b.s, a.s) - a.s)), 88) AS ix0
+          FROM imasamp a
+          LEFT JOIN imasamp b
+            ON b.media_id = a.media_id AND b.blk = a.blk AND b.tt = 1
+          WHERE a.tt = 0),
+        imarec AS (
+          SELECT media_id, blk, CAST(0 AS BIGINT) AS tt,
+                 CAST(pred0 AS BIGINT) AS pred, CAST(ix0 AS BIGINT) AS ix
+          FROM imahead
+          UNION ALL
+          SELECT media_id, blk, tt,
+                 greatest(-32768, least(32767,
+                   base + CASE WHEN neg THEN -diff ELSE diff END)) AS pred,
+                 greatest(0, least(88,
+                   ix + CASE WHEN b4 = 1 THEN 2 + 2 * (2 * b2 + b1)
+                             ELSE -1 END)) AS ix
+          FROM (
+            SELECT media_id, blk, tt, base, ix, neg, b4, b2, b1,
+                   (stp >> 3) + b4 * stp + b2 * (stp >> 1) + b1 * (stp >> 2) AS diff
+            FROM (
+              SELECT *, CASE WHEN d2 >= (stp >> 2) THEN 1 ELSE 0 END AS b1
+              FROM (
+                SELECT *, CASE WHEN d1 >= (stp >> 1) THEN 1 ELSE 0 END AS b2,
+                       d1 - CASE WHEN d1 >= (stp >> 1) THEN stp >> 1 ELSE 0 END AS d2
+                FROM (
+                  SELECT *, CASE WHEN d0 >= stp THEN 1 ELSE 0 END AS b4,
+                         d0 - CASE WHEN d0 >= stp THEN stp ELSE 0 END AS d1
+                  FROM (
+                    SELECT r.media_id, r.blk, r.tt + 1 AS tt, r.pred AS base,
+                           r.ix, st.st AS stp,
+                           s2.s - r.pred < 0 AS neg, abs(s2.s - r.pred) AS d0
+                    FROM imarec r
+                    JOIN imasamp s2 ON s2.media_id = r.media_id
+                     AND s2.blk = r.blk AND s2.tt = r.tt + 1
+                    JOIN imasteps st ON st.i = r.ix)))) q)),
+        dec AS (
+          SELECT media_id, t, s AS d FROM aud WHERE media_id % 8 = 1
+          UNION ALL SELECT media_id, t, dec FROM g711
+          UNION ALL SELECT media_id, blk * {spb} + tt AS t, pred AS d
+                    FROM imarec),
         aud_rows AS (
           SELECT media_id, 'audio' AS kind, CAST(t // {frame} AS INT) AS idx,
-                 round(sqrt(avg(CAST(s * s AS DOUBLE))), 4) AS v1,
+                 round(sqrt(avg(CAST(d * d AS DOUBLE))), 4) AS v1,
                  CAST(NULL AS DOUBLE) AS v2
-          FROM aud GROUP BY 1, 2, 3
+          FROM dec GROUP BY 1, 2, 3
         )
         SELECT CAST(media_id AS BIGINT) AS media_id, kind, CAST(idx AS INT) AS idx, v1, v2 FROM img_rows
         UNION ALL
