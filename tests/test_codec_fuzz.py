@@ -48,6 +48,9 @@ def _decoders():
         ),
         "avi": (MM.encode_avi(np.stack([img, img])), MM.decode_avi),
         "wav": (MM.encode_wav(samples, sr), MM.decode_wav),
+        "wav_ulaw": (MM.encode_wav(samples, sr, codec="ulaw"), MM.decode_wav),
+        "wav_alaw": (MM.encode_wav(samples, sr, codec="alaw"), MM.decode_wav),
+        "wav_ima": (MM.encode_wav(samples, sr, codec="ima"), MM.decode_wav),
     }
 
 
