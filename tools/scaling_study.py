@@ -64,12 +64,7 @@ def minhash_assign():
 def pack():
     from coastsat_spark.operators import packing
     sub = docs.select(F.xxhash64("url").alias("doc_id"), "text")
-    # n_shards >> shuffle partitions: 64 shards hashed into 32 reducers
-    # quantize badly (Poisson: some tasks get 3-4 shards, some 1 -> the
-    # window stage's p99/median ~2 caps 4N scaling); 512 shards give
-    # ~16/reducer on the wide leg, the balance the operator docstring
-    # prescribes sizing for
-    return packing.pack_sequences(sub, ctx_len=2048, n_shards=512).count()
+    return packing.pack_sequences(sub, ctx_len=2048, n_shards=64).count()
 
 all_jobs = {{"flagship": (flagship, trials), "text_extract": (text_extract, trials),
              "minhash_assign": (minhash_assign, trials), "pack": (pack, trials)}}
