@@ -24,12 +24,13 @@ REAL codecs (pure-NumPy struct parsing, no libraries needed):
     ingests Landsat/Sentinel `.tif` band stacks through GDAL
     (SDS_preprocess.py:66-200 preprocess_single); `geotiff_pixels`
     below is that ingest re-expressed as a UDTF-shaped mapInPandas;
-  - AVI: uncompressed 24-bit DIB RIFF video (chunk-walking parser,
-    '00db' frames with BMP row conventions) — encode + decode, with
-    `video_frame_features` frame sampling.
+  - AVI: RIFF video (chunk-walking parser) — uncompressed 24-bit DIB
+    ('00db' frames with BMP row conventions) AND motion-JPEG ('MJPG',
+    per-frame JPEGs through the pure-NumPy codec) — encode + decode,
+    with `video_frame_features` frame sampling.
 PNG covers bit depths 1-16 and Adam7 interlacing (functions/png.py).
 Arithmetic-coded/12-bit JPEG, perceptual audio codecs (MP3/AAC/...) and
-compressed video stay honestly STUBBED with NotImplementedError.
+inter-frame video codecs stay honestly STUBBED with NotImplementedError.
 
 A deterministic FAKE container format remains supported for tests:
   image: b"FIMG|" + w(le32) + h(le32) + c(le32) + w*h*c raw bytes
@@ -535,10 +536,17 @@ def media_decode_errors(media: DataFrame) -> DataFrame:
 _AVI_STREAM = 83
 
 
-def encode_avi(frames: np.ndarray, fps: int = 5) -> bytes:
-    """Encode (n, h, w, 3) uint8 RGB frames as an uncompressed RIFF AVI
-    ('DIB ' vids stream, 24-bit bottom-up BGR '00db' frames — the same
-    row convention as BMP). Pure struct packing."""
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian, biCompression tag
+
+
+def encode_avi(
+    frames: np.ndarray, fps: int = 5, codec: str = "DIB", quality: int = 90
+) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as a RIFF AVI. codec='DIB'
+    writes uncompressed 24-bit bottom-up BGR '00db' frames (the same row
+    convention as BMP); codec='MJPG' writes motion-JPEG — each frame an
+    independent baseline JPEG in a '00dc' chunk, the standard intra-only
+    compressed-AVI profile. Pure struct packing."""
     frames = np.asarray(frames)
     n, h, w, _ = frames.shape
     rowsize = (w * 3 + 3) & ~3
@@ -549,12 +557,22 @@ def encode_avi(frames: np.ndarray, fps: int = 5) -> bytes:
     def lst(kind: bytes, payload: bytes) -> bytes:
         return chunk(b"LIST", kind + payload)
 
-    frame_bytes = []
-    for f in frames:
-        rows = np.zeros((h, rowsize), dtype=np.uint8)
-        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
-        frame_bytes.append(rows.tobytes())
-    dsize = rowsize * h
+    if codec == "MJPG":
+        from ..functions.jpeg import encode_jpeg
+
+        frame_bytes = [encode_jpeg(f, quality=quality) for f in frames]
+        dsize = max(len(fb) for fb in frame_bytes)
+        handler, comp_tag, chunk_id = b"MJPG", _MJPG_FOURCC, b"00dc"
+    elif codec == "DIB":
+        frame_bytes = []
+        for f in frames:
+            rows = np.zeros((h, rowsize), dtype=np.uint8)
+            rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+            frame_bytes.append(rows.tobytes())
+        dsize = rowsize * h
+        handler, comp_tag, chunk_id = b"DIB ", 0, b"00db"
+    else:
+        raise ValueError(f"unknown AVI codec {codec!r} (DIB or MJPG)")
 
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
@@ -562,24 +580,26 @@ def encode_avi(frames: np.ndarray, fps: int = 5) -> bytes:
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, dsize, 0xFFFFFFFF, 0, 0, 0, int(w), int(h),
+        b"vids", handler, 0, 0, 0, 0, 1, fps, 0, n, dsize, 0xFFFFFFFF, 0, 0, 0, int(w), int(h),
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, dsize, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, comp_tag, dsize, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    movi = lst(b"movi", b"".join(chunk(chunk_id, fb) for fb in frame_bytes))
     idx_entries = []
     off = 4  # offsets within movi, relative to the 'movi' fourcc
     for fb in frame_bytes:
-        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(fb)))
+        idx_entries.append(struct.pack("<4sIII", chunk_id, 0x10, off, len(fb)))
         off += 8 + len(fb) + (len(fb) & 1)
     idx1 = chunk(b"idx1", b"".join(idx_entries))
     return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
 
 
 def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode an uncompressed 24-bit DIB AVI to (fps, (n, h, w, 3) uint8
-    RGB). Chunk-walking parser; compressed vids streams ('00dc' with a
-    non-zero biCompression) stay NotImplementedError."""
+    """Decode an AVI to (fps, (n, h, w, 3) uint8 RGB). Chunk-walking
+    parser; supports uncompressed 24-bit DIB and motion-JPEG ('MJPG'
+    biCompression — per-frame baseline/progressive JPEG via the
+    pure-NumPy codec); other compressed vids streams stay
+    NotImplementedError."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise NotImplementedError("not a RIFF AVI container")
     fps, w, h, bpp, comp = None, None, None, 24, 0
@@ -605,8 +625,25 @@ def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
     walk(12, len(payload))
     if w is None or not frames:
         raise NotImplementedError("AVI has no vids stream format / frames")
+    if comp == _MJPG_FOURCC:
+        from ..functions.jpeg import decode_jpeg
+
+        h_abs = abs(h)
+        check_dims(w, h_abs, "AVI strf", frames=len(frames))
+        out = np.empty((len(frames), h_abs, w, 3), dtype=np.uint8)
+        for i, fb in enumerate(frames):
+            img = decode_jpeg(bytes(fb))
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            if img.shape[:2] != (h_abs, w):
+                raise NotImplementedError(
+                    f"MJPG frame {i} is {img.shape[1]}x{img.shape[0]}, "
+                    f"strf declares {w}x{h_abs}"
+                )
+            out[i] = img[:, :, :3]
+        return fps, out
     if bpp != 24 or comp != 0:
-        raise NotImplementedError(f"only 24-bit uncompressed DIB AVI (bpp={bpp}, comp={comp})")
+        raise NotImplementedError(f"only 24-bit DIB or MJPG AVI (bpp={bpp}, comp={comp})")
     bottom_up = h > 0  # negative biHeight = top-down DIB (same as decode_bmp)
     h = abs(h)
     check_dims(w, h, "AVI strf", frames=len(frames))

@@ -47,6 +47,10 @@ def _decoders():
             MM.decode_image_bytes,
         ),
         "avi": (MM.encode_avi(np.stack([img, img])), MM.decode_avi),
+        "avi_mjpg": (
+            MM.encode_avi(np.stack([img, img]), codec="MJPG"),
+            MM.decode_avi,
+        ),
         "wav": (MM.encode_wav(samples, sr), MM.decode_wav),
         "wav_ulaw": (MM.encode_wav(samples, sr, codec="ulaw"), MM.decode_wav),
         "wav_alaw": (MM.encode_wav(samples, sr, codec="alaw"), MM.decode_wav),

@@ -238,12 +238,75 @@ def test_avi_container_structure():
 def test_avi_rejects_compressed_and_foreign():
     with pytest.raises(NotImplementedError, match="RIFF AVI"):
         MM.decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
-    # flip biCompression in strf to a nonzero codec id
+    # flip biCompression in strf to a nonzero (non-MJPG) codec id
     b = bytearray(MM.encode_avi(np.zeros((1, 4, 4, 3), dtype=np.uint8)))
     off = b.index(b"strf") + 8 + 16
     b[off : off + 4] = b"\x01\x00\x00\x00"
-    with pytest.raises(NotImplementedError, match="uncompressed"):
+    with pytest.raises(NotImplementedError, match="DIB or MJPG"):
         MM.decode_avi(bytes(b))
+
+
+def test_avi_mjpg_roundtrip_close():
+    """MJPG AVI round-trip: exact geometry/fps, pixel values within a
+    tight JPEG-lossy tolerance on smooth content."""
+    y = np.linspace(0, 150, 16)[:, None, None]
+    x = np.linspace(0, 60, 24)[None, :, None]
+    c = np.array([0.0, 20.0, 40.0])[None, None, :]
+    frames = np.stack(
+        [np.clip(y + x + c + 10 * t, 0, 255) for t in range(5)]
+    ).astype(np.uint8)
+    fps, out = MM.decode_avi(MM.encode_avi(frames, fps=8, codec="MJPG", quality=95))
+    assert fps == 8
+    assert out.shape == frames.shape
+    assert np.mean(np.abs(out.astype(int) - frames.astype(int))) < 4.0
+
+
+def test_avi_mjpg_container_structure():
+    """MJPG writer: '00dc' chunks, MJPG handler+compression tags, and
+    every frame chunk is a standalone decodable JPEG."""
+    import struct
+
+    from coastsat_spark.functions.jpeg import decode_jpeg
+
+    b = MM.encode_avi(np.full((2, 8, 8, 3), 128, dtype=np.uint8), codec="MJPG")
+    assert b[:4] == b"RIFF" and struct.unpack_from("<I", b, 4)[0] == len(b) - 8
+    assert b.count(b"MJPG") == 2 and b"00dc" in b and b"00db" not in b
+    off = b.index(b"strf") + 8 + 16
+    assert b[off : off + 4] == b"MJPG"
+    pos = b.index(b"00dc")
+    sz = struct.unpack_from("<I", b, pos + 4)[0]
+    img = decode_jpeg(bytes(b[pos + 8 : pos + 8 + sz]))
+    assert img.shape[:2] == (8, 8)
+
+
+def test_avi_mjpg_rejects_mismatched_frame_dims():
+    """An MJPG frame whose decoded size disagrees with strf must raise,
+    not silently write out of bounds."""
+    b = bytearray(MM.encode_avi(np.zeros((1, 8, 8, 3), dtype=np.uint8), codec="MJPG"))
+    off = b.index(b"strf") + 8 + 4
+    b[off : off + 4] = (16).to_bytes(4, "little")  # lie: biWidth 8 -> 16
+    with pytest.raises(NotImplementedError, match="strf declares"):
+        MM.decode_avi(bytes(b))
+
+
+def test_video_frame_features_mjpg(spark):
+    """Frame sampling works unchanged over MJPG payloads (decode_avi
+    dispatches on biCompression inside the UDTF)."""
+    import pandas as pd
+
+    frames = np.stack(
+        [np.full((12, 16, 3), 40 * (t + 1), dtype=np.uint8) for t in range(4)]
+    )
+    payload = MM.encode_avi(frames, fps=5, codec="MJPG", quality=95)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [payload]}),
+        schema="media_id long, payload binary",
+    )
+    pdf = MM.video_frame_features(df, every=2).toPandas().sort_values("frame_idx")
+    assert list(pdf.frame_idx) == [0, 2]
+    # flat frames survive JPEG essentially exactly
+    assert abs(pdf.brightness.iloc[0] - 40.0) < 1.5
+    assert abs(pdf.brightness.iloc[1] - 120.0) < 1.5
 
 
 def test_video_frame_features(spark):
