@@ -10,6 +10,9 @@ REAL codecs (pure-NumPy struct parsing, no libraries needed):
   - WAV: RIFF mono — PCM 16-bit, G.711 mu-law/A-law and IMA ADPCM
     (chunk-walking parser; real codecs in functions/audio.py) —
     encode + decode;
+  - FLAC: full decoder (all subframe types incl. LPC, rice/rice2
+    partitions, 4 stereo modes, CRC-8/16 + MD5 verify) and lossless
+    encoder (functions/flac.py); this surface downmixes to mono int16;
   - JPEG: baseline sequential (SOF0) AND progressive (SOF2: spectral
     selection, successive approximation, EOB runs) DCT
     (functions/jpeg.py — Huffman, quant, zigzag, IDCT, 4:4:4/4:2:0,
@@ -221,19 +224,35 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
 
 
 def decode_audio_bytes(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode an audio payload to (sample_rate, int16 samples): real WAV
-    parsing, the FAUD fake container for tests; compressed codecs stay
-    unimplemented."""
+    """Decode an audio payload to (sample_rate, int16 mono samples): real
+    WAV and FLAC parsing, the FAUD fake container for tests; perceptual
+    codecs (MP3/AAC/...) stay unimplemented. FLAC stereo is downmixed
+    (l+r)>>1 and non-16-bit depths are shifted to 16 for this mono-int16
+    surface — `functions.flac.decode_flac` is the exact multi-channel
+    API."""
     if payload is None:
         return None
     if payload.startswith(b"RIFF"):
         return decode_wav(payload)
+    if payload.startswith(b"fLaC"):
+        from ..functions.flac import decode_flac
+
+        sr, x, bps = decode_flac(payload)
+        x = x.astype(np.int64)
+        if x.ndim == 2:
+            x = np.sum(x, axis=1) // x.shape[1]  # floor-mean downmix
+        if bps > 16:
+            x = x >> (bps - 16)
+        elif bps < 16:
+            x = x << (16 - bps)
+        return sr, x.astype(np.int16)
     if payload.startswith(AUDIO_MAGIC):
         sr, n = struct.unpack_from("<II", payload, len(AUDIO_MAGIC))
         off = len(AUDIO_MAGIC) + 8
         return sr, np.frombuffer(payload, dtype="<i2", count=n, offset=off)
     raise NotImplementedError(
-        "compressed audio codecs unavailable in this container; expected WAV or FAUD"
+        "perceptual audio codecs unavailable in this container; "
+        "expected WAV, FLAC or FAUD"
     )
 
 

@@ -12,6 +12,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from coastsat_spark.functions.flac import encode_flac
 from coastsat_spark.functions.gif import encode_gif
 from coastsat_spark.functions.jpeg import encode_jpeg
 from coastsat_spark.functions.png import encode_png
@@ -55,6 +56,14 @@ def _decoders():
         "wav_ulaw": (MM.encode_wav(samples, sr, codec="ulaw"), MM.decode_wav),
         "wav_alaw": (MM.encode_wav(samples, sr, codec="alaw"), MM.decode_wav),
         "wav_ima": (MM.encode_wav(samples, sr, codec="ima"), MM.decode_wav),
+        "flac": (encode_flac(samples, sr), MM.decode_audio_bytes),
+        "flac_stereo": (
+            encode_flac(
+                np.stack([samples, samples // 2], axis=1), sr, channel_mode="ms",
+                partition_order=2,
+            ),
+            MM.decode_audio_bytes,
+        ),
     }
 
 
