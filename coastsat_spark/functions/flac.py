@@ -680,7 +680,14 @@ def encode_flac(
         frames.out += struct.pack(">H", _crc16(frame_bytes))
         frame_no += 1
 
-    md5 = hashlib.md5(_interleaved_le_bytes(x.astype(np.int32), bps)).digest()
+    # spec MD5 is over byte-packed samples; for depths that aren't a
+    # whole byte count (12/20) write the all-zero "unknown" marker
+    # rather than a digest in a packing we don't replicate
+    md5 = (
+        hashlib.md5(_interleaved_le_bytes(x.astype(np.int32), bps)).digest()
+        if bps % 8 == 0
+        else b"\x00" * 16
+    )
     si = 0
     si = (si << 16) | min_bs
     si = (si << 16) | max_bs
