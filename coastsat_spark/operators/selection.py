@@ -241,6 +241,251 @@ def _feat_cte_sql(ngram: int, n_buckets: int, prefix: str) -> str:
     return ",\n    ".join(ctes + [f"{prefix}feat AS ({uni})"])
 
 
+# ----------------------------------------- hashed LM perplexity filter
+
+def lm_perplexity(
+    docs: DataFrame,
+    model_docs: DataFrame,
+    order: int = 3,
+    n_buckets: int = 1 << 16,
+    alpha: float = 0.1,
+    backoff: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_text_col: str = "text",
+) -> DataFrame:
+    """Score documents by perplexity under a hashed n-gram LM with
+    stupid backoff — the CCNet / RefinedWeb quality stage (KenLM role):
+    train on a curated reference corpus, keep low-perplexity documents.
+
+    Model: counts of order-1..`order` word-n-gram digests
+    (Spark multi-arg xxhash64 chains, `ngram_digest_expr`) hashed into
+    `n_buckets` buckets — at most order*n_buckets rows whatever the
+    model-corpus size, so every lookup table broadcasts. Score of token
+    i at order k (Brants et al. 2007 stupid backoff — scores, not
+    normalized probabilities; bucket collisions can push a ratio above
+    1, the standard hashed-LM artifact):
+
+        S_k(i) = cnt_k(gram) / cnt_{k-1}(context)   if both buckets seen
+               = backoff * S_{k-1}(i)               otherwise
+        S_1(i) = (cnt_1(w_i) + alpha) / (N + alpha * n_buckets)
+
+    Leading positions (i < order-1) score at order i+1 with no backoff
+    penalty. Returns one row per input doc:
+    (doc_id, n_tokens, logprob, ppl) with logprob = sum ln S,
+    ppl = exp(-logprob / n_tokens); token-less docs -> (0, 0.0, NULL).
+
+    Scale shape: ONE scan of the scored corpus (text never leaves the
+    scan: positions explode to 8-byte bucket ids, 2*order-1 BROADCAST
+    joins against <=n_buckets-row count tables, map-side-combined
+    per-doc sum). The model fit is one scan + one (k, bucket) exchange
+    of the MODEL corpus (the curated reference — small next to the
+    corpus being filtered; its count branches share one exchange, which
+    AQE reuse collapses). No reference analog (CoastSat has no text
+    layer); composes with `importance_weights` / `mix_domains`.
+    """
+    if order < 1 or n_buckets < 1:
+        raise ValueError("order and n_buckets must be >= 1")
+    R, B = int(order), int(n_buckets)
+    lam = F.lit(float(backoff))
+
+    # -- model: every order's digest stream tagged (k, bucket), ONE pass
+    th = model_docs.select(token_hashes_col(model_text_col).alias("_th"))
+
+    # NB: the lambda must be unary — pyspark passes the array INDEX as a
+    # second argument to any 2-parameter lambda, defaults included
+    def _tag(kk):
+        return lambda x: F.struct(
+            F.lit(kk).alias("k"), F.pmod(x, F.lit(B)).alias("bucket")
+        )
+
+    tagged = F.concat(
+        *[
+            F.transform(ngram_digest_expr("_th", k), _tag(k))
+            for k in range(1, R + 1)
+        ]
+    )
+    cnt = (
+        th.select(F.explode(tagged).alias("e"))
+        .groupBy(F.col("e.k").alias("k"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot1 = cnt.filter(F.col("k") == 1).agg(F.sum("cnt").alias("tot1"))
+
+    # -- scored corpus: one scan, positions exploded to bucket ids only
+    d = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        token_hashes_col(text_col).alias("_th"),
+    )
+    d = d.select(
+        "doc_id",
+        *[ngram_digest_expr("_th", k).alias(f"_d{k}") for k in range(1, R + 1)],
+    )
+    pos = d.select(
+        "doc_id",
+        *[f"_d{k}" for k in range(1, R + 1)],
+        F.posexplode_outer("_d1").alias("i", "g1"),
+    )
+    # gram of order k ending at token i starts at i-k+1 (0-based), i.e.
+    # element_at index i-k+2 (1-based, guarded: only defined for
+    # i >= k-1, and never past the array end); its context is the
+    # (k-1)-gram ENDING at i-1 — the SAME index into _d{k-1}
+    bucket_cols = [F.pmod(F.col("g1"), F.lit(B)).alias("b1")]
+    for k in range(2, R + 1):
+        at = f"CASE WHEN i >= {k - 1} THEN element_at(_d{k}, i - {k - 2}) END"
+        ctx = f"CASE WHEN i >= {k - 1} THEN element_at(_d{k - 1}, i - {k - 2}) END"
+        bucket_cols.append(F.pmod(F.expr(at), F.lit(B)).alias(f"b{k}"))
+        bucket_cols.append(F.pmod(F.expr(ctx), F.lit(B)).alias(f"c{k}"))
+    pos = pos.select("doc_id", "i", "g1", *bucket_cols)
+
+    j = pos
+    for k in range(1, R + 1):
+        j = j.join(
+            F.broadcast(
+                cnt.filter(F.col("k") == k).select(
+                    F.col("bucket").alias(f"b{k}"), F.col("cnt").alias(f"cnt_g{k}")
+                )
+            ),
+            f"b{k}",
+            "left",
+        )
+    for k in range(2, R + 1):
+        j = j.join(
+            F.broadcast(
+                cnt.filter(F.col("k") == k - 1).select(
+                    F.col("bucket").alias(f"c{k}"), F.col("cnt").alias(f"cnt_c{k}")
+                )
+            ),
+            f"c{k}",
+            "left",
+        )
+    j = j.crossJoin(F.broadcast(tot1))
+
+    s = (F.coalesce(F.col("cnt_g1"), F.lit(0)) + F.lit(float(alpha))) / (
+        F.col("tot1") + F.lit(float(alpha * B))
+    )
+    scores = [s]
+    for k in range(2, R + 1):
+        s = F.when(
+            F.col(f"cnt_g{k}").isNotNull() & F.col(f"cnt_c{k}").isNotNull(),
+            F.col(f"cnt_g{k}") / F.col(f"cnt_c{k}"),
+        ).otherwise(lam * s)
+        scores.append(s)
+    score = scores[0]
+    for k in range(2, R + 1):
+        score = F.when(F.col("i") >= k - 1, scores[k - 1]).otherwise(score)
+
+    res = (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("g1").alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("g1").isNotNull(), F.log(score))), F.lit(0.0)
+            ).alias("logprob"),
+        )
+        .withColumn(
+            "ppl",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.exp(-F.col("logprob") / F.col("n_tokens")),
+            ),
+        )
+    )
+    return res
+
+
+def lm_perplexity_oracle_sql(
+    order: int = 3,
+    n_buckets: int = 1 << 16,
+    alpha: float = 0.1,
+    backoff: float = 0.4,
+    table: str = "documents",
+    model_table: str = "model",
+) -> str:
+    """DuckDB mirror of `lm_perplexity`: identical tokenizer, bit-exact
+    xxhash64 chain digests, the same pmod bucketing, backoff cascade,
+    and log algebra (float sums match to ~1e-9)."""
+    from ..hashing import u64_to_i64_sql
+
+    R, B = int(order), int(n_buckets)
+    a, lam = float(alpha), float(backoff)
+
+    def bkt(expr: str) -> str:
+        return f"(({u64_to_i64_sql(expr)} % {B}) + {B}) % {B}"
+
+    ctes = [tokhash_cte_sql(model_table).replace("tokh AS", "mtokh AS", 1)]
+    for k in range(1, R + 1):
+        ctes.append(
+            _ngram_cte_sql(k, name=f"mng{k}").replace(" FROM tokh ", " FROM mtokh ")
+        )
+        ctes.append(
+            f"cnt{k} AS (SELECT {bkt('digest')} AS bucket, count(*) AS cnt"
+            f" FROM mng{k} GROUP BY 1)"
+        )
+    ctes.append("tot AS (SELECT count(*) AS tot1 FROM mtokh)")
+    ctes.append(tokhash_cte_sql(table))
+    for k in range(1, R + 1):
+        ctes.append(_ngram_cte_sql(k, name=f"dng{k}"))
+
+    # one row per (doc, token position); gram/context digests of order k
+    # come from the window STARTING at i-k+1, exactly the Spark indexing
+    joins, sel = [], [f"p.doc_id, p.i, {bkt('p.digest')} AS b1"]
+    for k in range(2, R + 1):
+        joins.append(
+            f"LEFT JOIN dng{k} g{k} ON g{k}.doc_id = p.doc_id"
+            f" AND g{k}.pos0 = p.i - {k - 1}"
+        )
+        joins.append(
+            f"LEFT JOIN dng{k - 1} x{k} ON x{k}.doc_id = p.doc_id"
+            f" AND x{k}.pos0 = p.i - {k - 1}"
+        )
+        sel.append(f"{bkt(f'g{k}.digest')} AS b{k}")
+        sel.append(f"{bkt(f'x{k}.digest')} AS c{k}")
+    ctes.append(
+        "pos AS (SELECT "
+        + ",\n             ".join(sel)
+        + "\n      FROM (SELECT doc_id, pos0 AS i, digest FROM dng1) p\n      "
+        + "\n      ".join(joins)
+        + ")"
+    )
+
+    cjoins = [f"LEFT JOIN cnt{k} cg{k} ON cg{k}.bucket = pos.b{k}" for k in range(1, R + 1)]
+    cjoins += [
+        f"LEFT JOIN cnt{k - 1} cc{k} ON cc{k}.bucket = pos.c{k}" for k in range(2, R + 1)
+    ]
+    s = f"(coalesce(cg1.cnt, 0) + {a}) / (tot1 + {a * B})"
+    scores = [s]
+    for k in range(2, R + 1):
+        s = (
+            f"CASE WHEN cg{k}.cnt IS NOT NULL AND cc{k}.cnt IS NOT NULL"
+            f" THEN cg{k}.cnt * 1.0 / cc{k}.cnt ELSE {lam} * ({s}) END"
+        )
+        scores.append(s)
+    score = scores[0]
+    for k in range(2, R + 1):
+        score = f"CASE WHEN pos.i >= {k - 1} THEN ({scores[k - 1]}) ELSE ({score}) END"
+
+    ctes.append(
+        f"scored AS (SELECT pos.doc_id, ln({score}) AS lp FROM pos\n      "
+        + "\n      ".join(cjoins)
+        + ", tot)"
+    )
+    ctes.append(
+        "agg AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS logprob"
+        " FROM scored GROUP BY 1)"
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT d.doc_id,
+           coalesce(agg.n_tokens, 0) AS n_tokens,
+           coalesce(agg.logprob, 0.0) AS logprob,
+           CASE WHEN agg.n_tokens > 0
+                THEN exp(-agg.logprob / agg.n_tokens) END AS ppl
+    FROM (SELECT CAST({table}.doc_id AS BIGINT) AS doc_id FROM {table}) d
+    LEFT JOIN agg USING (doc_id)"""
+
+
 def importance_weights_oracle_sql(
     n_buckets: int = 10_000,
     ngram: int = 2,
