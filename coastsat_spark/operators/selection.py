@@ -134,6 +134,196 @@ def importance_weights(
     )
 
 
+# ---------------------------------------------- Gopher-rules doc filter
+
+# regexes shared verbatim by the Spark plan and the DuckDB mirror: both
+# engines' regex dialects (java.util.regex / RE2) agree on these forms
+_NWS_RE = r"[^ \t\n\r\f\v]+"          # a word = a non-whitespace run
+_SYMBOL_RE = r"#|\.\.\.|…"       # Gopher's symbol set: '#' and ellipsis
+_BULLET_RE = r"^[ \t]*[-*•‣▪]"
+_ELLIPSIS_END_RE = r"(\.\.\.|…)[ \t]*$"
+_GOPHER_STOPS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-rule Gopher document-quality gate (Rae et al. 2021, App. A1.1)
+    — the named rule-based web filter, distinct from the scalar
+    `quality_score_col` composite. One row per doc:
+    (doc_id, n_words, mean_word_len, r_word_count, r_mean_word_len,
+    r_symbol_ratio, r_bullet_lines, r_ellipsis_lines, r_alpha_words,
+    r_stopwords, keep) with keep = AND of all rule flags, so callers can
+    either drop (`.filter("keep")`) or audit which rule fired.
+
+    Rules (defaults = the published thresholds): word count in
+    [min_words, max_words]; mean word length in [3, 10] (false for
+    token-less docs); symbol-to-word ratio ('#' / '...' / U+2026)
+    <= 0.1; <= 90% of lines start with a bullet; <= 30% of lines end in
+    an ellipsis; >= 80% of words contain an alphabetic character;
+    >= min_stopwords distinct Gopher stop words ({and, be, have, of,
+    that, the, to, with}) present as whitespace words. Words are
+    non-whitespace runs; ratio rules with a zero denominator hold
+    vacuously (keep is still false via r_word_count). NULL text is
+    scored like ''.
+
+    Scale shape: ONE scan, zero shuffles, zero joins — every feature is
+    a JVM regexp/array expression inside whole-stage codegen, so the
+    filter runs at scan speed on 100 TB and composes with any
+    downstream op. The DuckDB mirror shares the regex strings verbatim
+    and replays counts exactly (rule flags are integer/double compares
+    in the same operation order).
+    """
+    t = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
+    )
+    words = F.regexp_extract_all(t, F.lit(_NWS_RE), F.lit(0))
+    lines = F.split(t, "\n", -1)
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            words, F.lit(0), lambda a, w: a + F.length(w)
+        ).alias("word_chars"),
+        F.size(
+            F.filter(words, lambda w: F.regexp_like(w, F.lit("[A-Za-z]")))
+        ).alias("n_alpha_words"),
+        F.size(F.regexp_extract_all(t, F.lit(_SYMBOL_RE), F.lit(0))).alias(
+            "n_symbols"
+        ),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda l: F.regexp_like(l, F.lit(_BULLET_RE)))
+        ).alias("n_bullet"),
+        F.size(
+            F.filter(
+                lines, lambda l: F.regexp_like(l, F.lit(_ELLIPSIS_END_RE))
+            )
+        ).alias("n_ellipsis"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+                lambda s: F.array_contains(
+                    F.transform(words, lambda w: F.lower(w)), s
+                ),
+            )
+        ).alias("n_stop"),
+    )
+    nw = F.col("n_words").cast("double")
+    rules = base.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.col("word_chars") / F.greatest("n_words", F.lit(1)), 6
+        ).alias("mean_word_len"),
+        F.col("n_words").between(int(min_words), int(max_words)).alias(
+            "r_word_count"
+        ),
+        (
+            (F.col("n_words") > 0)
+            & (F.col("word_chars") >= F.lit(float(min_mean_word_len)) * nw)
+            & (F.col("word_chars") <= F.lit(float(max_mean_word_len)) * nw)
+        ).alias("r_mean_word_len"),
+        (F.col("n_symbols") <= F.lit(float(max_symbol_ratio)) * nw).alias(
+            "r_symbol_ratio"
+        ),
+        (
+            F.col("n_bullet")
+            <= F.lit(float(max_bullet_frac)) * F.col("n_lines")
+        ).alias("r_bullet_lines"),
+        (
+            F.col("n_ellipsis")
+            <= F.lit(float(max_ellipsis_frac)) * F.col("n_lines")
+        ).alias("r_ellipsis_lines"),
+        (F.col("n_alpha_words") >= F.lit(float(min_alpha_frac)) * nw).alias(
+            "r_alpha_words"
+        ),
+        (F.col("n_stop") >= int(min_stopwords)).alias("r_stopwords"),
+    )
+    flags = [c for c in rules.columns if c.startswith("r_")]
+    keep_col = F.col(flags[0])
+    for c in flags[1:]:
+        keep_col = keep_col & F.col(c)
+    return rules.withColumn("keep", keep_col)
+
+
+def gopher_rules_oracle_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of `gopher_rules`: the identical regex strings,
+    count algebra, and comparison operation order (integer counts vs
+    threshold * denominator, so flags match exactly)."""
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    return f"""
+    WITH base AS (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id,
+             len(words) AS n_words,
+             coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+               AS word_chars,
+             len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+               AS n_alpha_words,
+             len(regexp_extract_all(t, '{_SYMBOL_RE}')) AS n_symbols,
+             len(lines) AS n_lines,
+             len(list_filter(lines, x -> regexp_matches(x, '{_BULLET_RE}')))
+               AS n_bullet,
+             len(list_filter(lines,
+                 x -> regexp_matches(x, '{_ELLIPSIS_END_RE}'))) AS n_ellipsis,
+             len(list_filter([{stops}],
+                 s -> list_contains(list_transform(words, x -> lower(x)), s)))
+               AS n_stop
+      FROM (SELECT {id_col}, coalesce({text_col}, '') AS t,
+                   regexp_extract_all(coalesce({text_col}, ''), '{_NWS_RE}')
+                     AS words,
+                   string_split(coalesce({text_col}, ''), chr(10)) AS lines
+            FROM {table})),
+    rules AS (
+      SELECT doc_id, n_words,
+             round(CAST(word_chars AS DOUBLE) / greatest(n_words, 1), 6)
+               AS mean_word_len,
+             n_words BETWEEN {int(min_words)} AND {int(max_words)}
+               AS r_word_count,
+             (n_words > 0
+              AND word_chars >= {float(min_mean_word_len)!r} * CAST(n_words AS DOUBLE)
+              AND word_chars <= {float(max_mean_word_len)!r} * CAST(n_words AS DOUBLE))
+               AS r_mean_word_len,
+             n_symbols <= {float(max_symbol_ratio)!r} * CAST(n_words AS DOUBLE)
+               AS r_symbol_ratio,
+             n_bullet <= {float(max_bullet_frac)!r} * n_lines AS r_bullet_lines,
+             n_ellipsis <= {float(max_ellipsis_frac)!r} * n_lines
+               AS r_ellipsis_lines,
+             n_alpha_words >= {float(min_alpha_frac)!r} * CAST(n_words AS DOUBLE)
+               AS r_alpha_words,
+             n_stop >= {int(min_stopwords)} AS r_stopwords
+      FROM base)
+    SELECT *,
+           (r_word_count AND r_mean_word_len AND r_symbol_ratio
+            AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+            AND r_stopwords) AS keep
+    FROM rules"""
+
+
 # ------------------------------------------------- URL blocklist filter
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/]*@)?([^/:?#]+)"

@@ -219,3 +219,92 @@ def test_importance_weights_unseen_bucket_constant(spark):
     expect = 3 * math.log((tot_b + aB) / (tot_t + aB))
     assert g.loc[0, "n_feat"] == 3
     np.testing.assert_allclose(g.loc[0, "logratio"], expect, rtol=1e-9)
+
+
+# ------------------------------------------------- Gopher rule filter
+
+_GOOD = (
+    "The quick brown fox jumps over the lazy dog and then settles down "
+    "beside the river with a contented sigh. "
+) * 3  # ~60 words, fluent, stopword-rich
+
+
+@pytest.fixture(scope="module")
+def gopher_docs(spark):
+    texts = [
+        _GOOD,                                          # 0: passes everything
+        "short text only",                              # 1: under min_words
+        " ".join(["supercalifragilistic"] * 60),        # 2: mean word len > 10
+        # 3: symbol-heavy — 8 stopword-ish words + 15 hash/ellipsis marks
+        "the cat sat on of that mat be " + "# … ... # # " * 3,
+        _GOOD + ("\n- bullet point" * 40) + "\nplain",  # 4: >90% bullet lines
+        _GOOD + ("\ntrailing thought...\n" * 9) + "x",  # 5: ellipsis lines
+        " ".join(["1234567"] * 60),                     # 6: no alpha words, no stopwords
+        "",                                             # 7: empty
+        None,                                           # 8: NULL
+        _GOOD + "\n",                                   # 9: trailing newline edge
+    ]
+    pdf = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return pdf, spark.createDataFrame(pdf), con
+
+
+def test_gopher_rules_oracle_parity(gopher_docs):
+    pdf, docs, con = gopher_docs
+    got = (
+        selection.gopher_rules(docs, min_words=20)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        con.execute(selection.gopher_rules_oracle_sql(min_words=20))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(pdf)
+    for c in got.columns:
+        if c == "mean_word_len":
+            np.testing.assert_allclose(got[c], exp[c], atol=0)
+        else:
+            np.testing.assert_array_equal(
+                got[c].to_numpy(), exp[c].to_numpy(), err_msg=c
+            )
+
+
+def test_gopher_rules_semantics(gopher_docs):
+    _, docs, _ = gopher_docs
+    g = (
+        selection.gopher_rules(docs, min_words=20)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(g.loc[0, "keep"])
+    assert not bool(g.loc[1, "r_word_count"]) and not bool(g.loc[1, "keep"])
+    assert not bool(g.loc[2, "r_mean_word_len"])
+    assert not bool(g.loc[3, "r_symbol_ratio"])
+    assert bool(g.loc[3, "r_stopwords"])  # planted stopwords still count
+    assert not bool(g.loc[4, "r_bullet_lines"])
+    assert not bool(g.loc[5, "r_ellipsis_lines"])
+    assert not bool(g.loc[6, "r_alpha_words"]) and not bool(g.loc[6, "r_stopwords"])
+    # empty and NULL behave identically: zero words, keep = false
+    for d in (7, 8):
+        assert g.loc[d, "n_words"] == 0 and not bool(g.loc[d, "keep"])
+        assert bool(g.loc[d, "r_symbol_ratio"])  # vacuous ratios hold
+    assert bool(g.loc[9, "keep"])  # trailing newline is harmless
+
+
+def test_gopher_rules_plan_shape(gopher_docs):
+    """One scan, no joins, no exchanges, no Python — the filter must run
+    at scan speed."""
+    _, docs, _ = gopher_docs
+    df = selection.gopher_rules(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for op in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan, op
