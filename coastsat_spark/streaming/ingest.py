@@ -16,7 +16,7 @@ Tests drive these with the memory sink + processAllAvailable().
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..datagen import WEBPAGES_SCHEMA
@@ -81,6 +81,108 @@ def streaming_tile_stats(stream: DataFrame) -> DataFrame:
         stateStructType="n long, csum double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def read_bloom_bitmap(
+    spark: SparkSession, bloom_dir: str, exclude_epoch: int | None = None
+) -> DataFrame:
+    """The accumulated Bloom bitmap: OR of every epoch partition under
+    `bloom_dir` (one per processed micro-batch), optionally excluding one
+    epoch — the retry guard: a re-run batch must not see the bits its
+    failed attempt already wrote, or every row of the retry would read
+    as seen. Missing/empty dir -> empty bitmap (nothing seen yet)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        epochs = spark.read.option("basePath", bloom_dir).parquet(bloom_dir)
+    except AnalysisException:  # no epoch written yet (PATH_NOT_FOUND)
+        return spark.createDataFrame([], "word long, bits long")
+    if exclude_epoch is not None:
+        epochs = epochs.filter(F.col("epoch") != int(exclude_epoch))
+    return epochs.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_gate_batch(
+    batch: DataFrame,
+    batch_id: int,
+    bloom_dir: str,
+    out_dir: str,
+    m_bits: int = 1 << 23,
+    k_hashes: int = 5,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+) -> int:
+    """One micro-batch of the Bloom-gated incremental-crawl ingest:
+    probe the batch against the accumulated bitmap, keep the first row
+    per unseen key (within-batch dedup by smallest id; NULL-keyed rows
+    always pass — there is no key to deduplicate on), append the
+    accepted rows to `out_dir/epoch=<batch_id>` and the accepted keys'
+    bits to `bloom_dir/epoch=<batch_id>`. Returns the accepted count.
+
+    Exactly-once without read-modify-write: each batch OVERWRITES only
+    its own epoch partition (a deterministic function of its input), and
+    the probe excludes that epoch, so a retried batch reproduces its
+    output byte-identically whether or not the failed attempt got as far
+    as writing bits. Seen keys never re-enter (no false negatives);
+    a false positive drops a genuinely-new key at the standard
+    (1 - e^{-kn/m})^k rate — size m_bits for the crawl horizon.
+    """
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    spark = batch.sparkSession
+    bitmap = read_bloom_bitmap(spark, bloom_dir, exclude_epoch=batch_id)
+    probed = bloom_probe(
+        batch, bitmap, m_bits=m_bits, k_hashes=k_hashes,
+        key_col=key_col, id_col=id_col,
+    )
+    rn = F.row_number().over(Window.partitionBy(key_col).orderBy(id_col))
+    accepted_ids = (
+        probed.filter(~F.col("maybe_seen"))
+        .withColumn("_rn", rn)
+        .filter(F.col(key_col).isNull() | (F.col("_rn") == 1))
+        .select(id_col)
+    )
+    accepted = batch.join(accepted_ids, id_col, "left_semi")
+    accepted.write.mode("overwrite").parquet(f"{out_dir}/epoch={int(batch_id)}")
+    out = spark.read.parquet(f"{out_dir}/epoch={int(batch_id)}")
+    bloom_build(
+        out.select(F.col(key_col).cast("long").alias("key")),
+        m_bits=m_bits, k_hashes=k_hashes,
+    ).write.mode("overwrite").parquet(f"{bloom_dir}/epoch={int(batch_id)}")
+    return out.count()
+
+
+def bloom_gate_stream(
+    stream: DataFrame,
+    bloom_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    m_bits: int = 1 << 23,
+    k_hashes: int = 5,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    query_name: str = "bloom_gate",
+):
+    """Continuous incremental-crawl dedup: every micro-batch of `stream`
+    is gated through `bloom_gate_batch` (probe accumulated bitmap ->
+    accept unseen keys -> extend bitmap). The streaming composition of
+    `operators/bloom.py`; state lives in the epoch-partitioned bitmap
+    table, not the state store, so it survives query restarts, is
+    readable by any batch job mid-stream, and is bounded by m/64 rows
+    per epoch however many documents flow through."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        bloom_gate_batch(
+            batch, batch_id, bloom_dir, out_dir,
+            m_bits=m_bits, k_hashes=k_hashes, key_col=key_col, id_col=id_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
     )
 
 

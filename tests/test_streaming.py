@@ -191,3 +191,79 @@ def test_sessionize_boundary_matches_session_window_exactly(spark):
     # '>=' splits the chain into singletons: 4 sessions/user — the two
     # boundary semantics genuinely diverge on this input
     assert len(half_open) == 8
+
+
+def test_bloom_gate_stream_incremental_crawl(spark, tmp_path):
+    """Bloom-gated ingest over three micro-batches: overlapping re-crawls
+    and within-batch duplicates are dropped, new keys pass, and the
+    accumulated bitmap survives across batches. m = 2^20 bits for 150
+    keys -> theoretical FPR ~ 1e-16, so counts are asserted exactly."""
+    import pandas as pd
+
+    from coastsat_spark.streaming.ingest import bloom_gate_batch, bloom_gate_stream
+
+    src = tmp_path / "crawl_src"
+    src.mkdir()
+    bloom_dir = str(tmp_path / "bloom")
+    out_dir = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, key long, payload string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "key", "payload"]), schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = bloom_gate_stream(
+        stream, bloom_dir, out_dir, ckpt, m_bits=1 << 20, key_col="key"
+    )
+    try:
+        # batch 1: keys 0..99, with a within-batch dup of key 7 and a
+        # NULL-keyed row (always passes)
+        rows1 = [(i, i, f"b1-{i}") for i in range(100)]
+        rows1 += [(1000, 7, "b1-dup"), (1001, None, "b1-null")]
+        write_batch("b1", rows1)
+        q.processAllAvailable()
+        # batch 2: keys 50..149 (50 re-crawls, 50 new) + another NULL
+        rows2 = [(2000 + i, i, f"b2-{i}") for i in range(50, 150)]
+        rows2 += [(2999, None, "b2-null")]
+        write_batch("b2", rows2)
+        q.processAllAvailable()
+        # batch 3: pure re-crawl of 0..99 — everything dropped
+        write_batch("b3", [(3000 + i, i, f"b3-{i}") for i in range(100)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    keyed = got[got.key.notna()]
+    # every key exactly once, keys 0..149 all present (FPR ~ 0 at this m)
+    assert sorted(keyed.key.astype(int)) == list(range(150))
+    assert keyed.key.is_unique
+    # within-batch dup kept the smallest doc_id; batch-3 rows all dropped
+    assert int(keyed.set_index("key").loc[7, "doc_id"]) == 7
+    assert not keyed.payload.str.startswith("b3").any()
+    # both NULL-keyed rows pass (nothing to dedup on)
+    assert len(got[got.key.isna()]) == 2
+
+    # retry idempotency: re-running an epoch with the same batch_id (the
+    # foreachBatch retry contract) reproduces its output, because the
+    # probe excludes the epoch's own bits
+    batch2 = spark.createDataFrame(
+        pd.DataFrame(
+            [(2000 + i, i, f"b2-{i}") for i in range(50, 150)]
+            + [(2999, None, "b2-null")],
+            columns=["doc_id", "key", "payload"],
+        ),
+        schema,
+    )
+    before = spark.read.parquet(out_dir + "/epoch=1").toPandas()
+    n = bloom_gate_batch(
+        batch2, 1, bloom_dir, out_dir, m_bits=1 << 20, key_col="key"
+    )
+    after = spark.read.parquet(out_dir + "/epoch=1").toPandas()
+    assert n == len(before)
+    assert sorted(after.doc_id) == sorted(before.doc_id)
