@@ -114,6 +114,18 @@ def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return seq
 
 
+def build_vocab_tokens(chars: list[str], merges: list[tuple[str, str]]) -> list[str]:
+    """Deterministic token list: _EOW, then sorted characters, then
+    merged symbols in rank order — DEDUPED preserving first occurrence,
+    because two different merge paths can produce the same string
+    (e.g. (a,bc) and (ab,c) both yield 'abc') and a duplicate token row
+    would fan out the encode join."""
+    seen: dict[str, None] = {}
+    for t in [_EOW] + sorted(chars) + [a + b for a, b in merges]:
+        seen.setdefault(t)
+    return list(seen)
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 1000,
@@ -129,7 +141,7 @@ def bpe_train(
     wc = [(r["word"], r["cnt"]) for r in word_counts(docs, text_col, max_words).collect()]
     merges = bpe_train_ref(wc, n_merges)
     chars = sorted({c for w, _ in wc for c in w})
-    tokens = [_EOW] + chars + [a + b for a, b in merges]
+    tokens = build_vocab_tokens(chars, merges)
     spark = docs.sparkSession
     vocab = spark.createDataFrame(
         [(t, i) for i, t in enumerate(tokens)], "token string, token_id long"

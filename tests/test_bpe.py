@@ -118,3 +118,16 @@ def test_word_counts_cap_is_deterministic(spark):
     )
     top2 = {r["word"]: r["cnt"] for r in bpe.word_counts(df, max_words=2).collect()}
     assert top2 == {"dd": 12, "cc": 9}
+
+
+def test_vocab_tokens_deduped():
+    """Two merge paths can yield the same string ((a,bc) vs (ab,c) ->
+    'abc'); the vocab must keep one row per token or the encode join
+    fans out."""
+    toks = bpe.build_vocab_tokens(
+        ["a", "b", "c"], [("a", "b"), ("b", "c"), ("ab", "c"), ("a", "bc")]
+    )
+    assert toks.count("abc") == 1
+    assert len(toks) == len(set(toks))
+    # rank order preserved for the survivors
+    assert toks.index("ab") < toks.index("bc") < toks.index("abc")
