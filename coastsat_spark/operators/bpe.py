@@ -155,18 +155,39 @@ def bpe_encode(
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    via: str = "map",
 ) -> DataFrame:
     """Encode a corpus with learned merges: (doc_id, n_tokens,
     token_ids array<long>), token stream in document order, out-of-vocab
     characters (unseen at train time) dropped with their word's
     remaining symbols kept.
 
-    The Python encoder runs once per DISTINCT word (a mapInPandas-free
+    Two physical strategies, identical output (parity-tested):
+
+    `via='map'` (default): one mapInPandas pass over the documents —
+    the merges and the token->id dict (both MODEL-sized: chars +
+    n_merges entries, NOT corpus-derived) ship to executors via a real
+    `sparkContext.broadcast`; each Arrow batch splits words with the
+    same regex and encodes through a per-task memo cache (Zipf word
+    re-use makes the cache hit rate ~= 1 - distinct/total). ZERO
+    shuffles, zero corpus-derived broadcast, embarrassingly parallel —
+    the plan you want at 100 TB and the one that scales N->4N
+    (the join strategy measured 0.43 efficiency at sf1 because its
+    driver-side broadcast build of the corpus-derived word table and
+    its two corpus shuffles do not parallelize;
+    BENCH/pipeline_ops_scaling.json).
+
+    `via='join'`: the Python encoder runs once per DISTINCT word (a
     pandas UDF over the vocab-bounded distinct-word table); the
     corpus-sized path is explode -> BROADCAST join on word ->
-    re-assemble per doc. One corpus shuffle total (the per-doc
-    re-assembly).
+    re-assemble per doc. Keeps corpus text out of Python entirely at
+    the price of two corpus shuffles; useful when documents are huge
+    and the distinct-word table is tiny relative to the corpus.
     """
+    if via == "map":
+        return _bpe_encode_map(docs, merges, vocab, text_col, id_col)
+    if via != "join":
+        raise ValueError("via must be 'map' or 'join'")
     from pyspark.sql.functions import pandas_udf
 
     merge_list = [tuple(p) for p in merges]
@@ -209,4 +230,57 @@ def bpe_encode(
             ).alias("token_ids")
         )
         .select("doc_id", F.size("token_ids").alias("n_tokens"), "token_ids")
+    )
+
+
+def _bpe_encode_map(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shuffle-free encode: mapInPandas with a per-task memo cache.
+    Only the MODEL (merges + token->id dict, bounded by n_merges) is
+    broadcast; corpus text flows straight through Arrow batches."""
+    import re
+
+    merge_list = [tuple(p) for p in merges]
+    tok_id = {r["token"]: r["token_id"] for r in vocab.collect()}
+    sc = docs.sparkSession.sparkContext
+    model_bc = sc.broadcast((merge_list, tok_id))
+    word_re = re.compile(_NWS_RE)
+    tcol = text_col if isinstance(text_col, str) else None
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.coalesce(F.col(text_col) if tcol else text_col, F.lit("")).alias("_t"),
+    )
+
+    def encode_batches(batches):
+        ml, tid = model_bc.value
+        memo: dict[str, list[int]] = {}
+
+        def ids_for(w: str) -> list[int]:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = [
+                    tid[s] for s in bpe_encode_word(w, ml) if s in tid
+                ]
+            return got
+
+        for pdf in batches:
+            toks = [
+                [i for w in word_re.findall(t) for i in ids_for(w)]
+                for t in pdf["_t"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pd.Series([len(t) for t in toks], dtype="int32"),
+                    "token_ids": toks,
+                }
+            )
+
+    return src.mapInPandas(
+        encode_batches, "doc_id long, n_tokens int, token_ids array<long>"
     )

@@ -90,12 +90,44 @@ def test_encode_oov_chars_dropped(docs, spark):
     assert [inv[i] for i in enc.loc[1, "token_ids"]] == ["</w>"]
 
 
+def test_encode_strategies_agree(docs, spark):
+    """via='map' (shuffle-free mapInPandas) and via='join' (distinct-word
+    broadcast join) must produce identical token streams — including
+    empty/None docs and OOV-heavy words."""
+    merges, vocab = bpe.bpe_train(docs, n_merges=6)
+    probe = spark.createDataFrame(
+        [(0, "low π∆ low"), (1, "πππ"), (2, ""), (3, None), (4, "the widest newest")],
+        "doc_id long, text string",
+    )
+    for src in (docs, probe):
+        m = bpe.bpe_encode(src, merges, vocab, via="map").toPandas()
+        j = bpe.bpe_encode(src, merges, vocab, via="join").toPandas()
+        m = m.sort_values("doc_id").reset_index(drop=True)
+        j = j.sort_values("doc_id").reset_index(drop=True)
+        assert list(m["doc_id"]) == list(j["doc_id"])
+        assert list(m["n_tokens"]) == list(j["n_tokens"])
+        assert [list(a) for a in m["token_ids"]] == [list(a) for a in j["token_ids"]]
+
+
+def test_encode_map_plan_is_shuffle_free(docs):
+    """The default strategy must be a single mapInPandas pass: no
+    Exchange, no join — the property that makes it scale N->4N."""
+    merges, vocab = bpe.bpe_train(docs, n_merges=4)
+    df = bpe.bpe_encode(docs, merges, vocab, via="map")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+
+
 def test_encode_plan_shape(docs):
     """Corpus-sized joins are broadcast, and the only Python evaluation
     sits above the distinct-word aggregate (vocab-bounded), never on the
     exploded corpus stream."""
     merges, vocab = bpe.bpe_train(docs, n_merges=4)
-    df = bpe.bpe_encode(docs, merges, vocab)
+    df = bpe.bpe_encode(docs, merges, vocab, via="join")
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )

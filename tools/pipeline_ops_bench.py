@@ -72,16 +72,28 @@ only = {only!r}
 jobs = {{k: v for k, v in all_jobs.items() if not only or k in only}}
 times, probes = {{}}, {{}}
 from tools.noise_probe import triad_gbps
+
+def wait_quiet(max_wait=240.0, floor={quiet_gbps}):
+    # same shared-host honesty as bench.py: don't start a timed trial
+    # in a co-tenant burst window (burst ~0.1-0.7 GB/s vs quiet ~7-8);
+    # give up after max_wait so the study always completes, and record
+    # the probe either way
+    amb, waited = round(triad_gbps(8_000_000), 3), 0.0
+    while amb < floor and waited < max_wait:
+        time.sleep(10.0); waited += 10.0
+        amb = round(triad_gbps(8_000_000), 3)
+    return amb
+
 for name, (fn, tr) in jobs.items():
     best = None
-    ps = [round(triad_gbps(8_000_000), 3)]
+    ps = [wait_quiet()]
     for _ in range(tr):
         t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
         spark.catalog.clearCache(); _VOCAB.cache(); _VOCAB.count()
-        ps.append(round(triad_gbps(8_000_000), 3))
+        ps.append(wait_quiet())
     times[name] = round(best, 3)
     probes[name] = ps
 print("LEG_RESULT " + json.dumps({{"cpus": cpus, "n_docs": n_docs, "times": times,
@@ -91,9 +103,12 @@ spark.stop()
 
 
 def run_leg(sf: float, cpus: int, trials: int, only: tuple = ()) -> dict:
-    script = _LEG_SCRIPT.format(repo=REPO, cpus=cpus, sf=sf, trials=trials, only=tuple(only))
+    quiet_gbps = float(os.environ.get("SPARK_GRAFT_PIPEOPS_QUIET_GBPS", "2.0"))
+    script = _LEG_SCRIPT.format(
+        repo=REPO, cpus=cpus, sf=sf, trials=trials, only=tuple(only), quiet_gbps=quiet_gbps
+    )
     out = subprocess.run(
-        [sys.executable, "-c", script], capture_output=True, text=True, timeout=5400
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=10800
     )
     for line in out.stdout.splitlines():
         if line.startswith("LEG_RESULT "):
