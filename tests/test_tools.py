@@ -109,3 +109,19 @@ def test_splitmix_sql_prefix_matches_python_kernel():
         z = ((z ^ (z >> 27)) * mm._SM_M2) & U
         want.append(z ^ (z >> 31))
     assert got == want
+
+
+def test_pipeline_ops_leg_script_formats_and_compiles():
+    """The leg template mixes doubled literal braces with real
+    placeholders ({repo}, {cpus}, {sf}, {trials}, {only}, {quiet_gbps});
+    a stray single brace would only blow up at run time inside the
+    subprocess, so pin format + compile here."""
+    m = _load("tools/pipeline_ops_bench.py", "pipeline_ops_bench")
+    src = m._LEG_SCRIPT.format(
+        repo="/root/repo", cpus=8, sf=0.001, trials=1, only=("bpe_encode",),
+        quiet_gbps=2.0,
+    )
+    compile(src, "<leg>", "exec")
+    # the quiet gate made it into the generated code with its floor bound
+    assert "floor=2.0" in src
+    assert "wait_quiet()" in src
