@@ -56,10 +56,24 @@ def bloom_rt():
     return probed.agg(F.sum(F.col("maybe_seen").cast("int"))).collect()[0][0]
 
 # merges are vocab-bounded and trained once outside the timed region —
-# the corpus-sized op under test is the ENCODE pass
-_MERGES, _VOCAB = bpe.bpe_train(
-    d.where(F.pmod(F.xxhash64("doc_id"), F.lit(50)) == 0),
-    n_merges=300, max_words=200_000)
+# the corpus-sized op under test is the ENCODE pass. Training is
+# deterministic, so cache the fitted model on disk: repeat legs /
+# window hunts skip the ~10-min single-threaded driver merge loop.
+import os
+_model_path = os.path.join({repo!r}, "BENCH", f".bpe_model_sf{sf}.json")
+if os.path.exists(_model_path):
+    with open(_model_path) as fh:
+        _m = json.load(fh)
+    _MERGES = [tuple(p) for p in _m["merges"]]
+    _VOCAB = spark.createDataFrame(
+        [(t, i) for t, i in _m["vocab"]], "token string, token_id long")
+else:
+    _MERGES, _VOCAB = bpe.bpe_train(
+        d.where(F.pmod(F.xxhash64("doc_id"), F.lit(50)) == 0),
+        n_merges=300, max_words=200_000)
+    with open(_model_path, "w") as fh:
+        json.dump({{"merges": _MERGES,
+                    "vocab": [(r["token"], r["token_id"]) for r in _VOCAB.collect()]}}, fh)
 _VOCAB = _VOCAB.cache(); _VOCAB.count()
 
 def bpe_encode():
