@@ -125,3 +125,16 @@ def test_pipeline_ops_leg_script_formats_and_compiles():
     # the quiet gate made it into the generated code with its floor bound
     assert "floor=2.0" in src
     assert "wait_quiet()" in src
+
+
+def test_pipeline_ops_window_accept_logic():
+    """The hunter accepts a window only when EVERY job-leg's embedded
+    probe median is quiet — one contended leg poisons the whole window."""
+    m = _load("tools/pipeline_ops_window.py", "pipeline_ops_window")
+    res = {
+        "ambient_gbps_N": {"bpe_encode": [7.0, 0.3, 6.5]},   # median 6.5
+        "ambient_gbps_4N": {"bpe_encode": [0.4, 0.5, 7.2]},  # median 0.5
+    }
+    meds = m.leg_medians(res)
+    assert meds == [6.5, 0.5]
+    assert min(meds) < 2.0  # this window must be rejected at accept=2.0
