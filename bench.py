@@ -169,22 +169,36 @@ def main() -> None:
     # multi-minute 0.03-0.2 GB/s episodes), so a 300 s cap frequently gave
     # up mid-burst and recorded a contaminated headline (the r4 flagship
     # story). Waiting is cheap relative to publishing a wrong number.
+    # The env value is a FLOOR, not the bar: the host's quiet level moves
+    # between rounds (r4 calibration ~1.5 GB/s; r5 sessions observed idle
+    # ~7-8 with bursts parked at 0.6-0.7 — ABOVE a fixed 0.45 bar, which
+    # would bless a contended trial). So the gate learns the regime: the
+    # bar is max(floor, 0.3 x the highest probe seen this run). Seeing one
+    # genuinely idle probe raises the bar to reject the 0.6 GB/s burst
+    # plateau; on a host whose true quiet IS ~1.5 the bar settles at
+    # ~0.45-0.5 exactly as before.
     quiet_gbps = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_GBPS", "0.45"))
     quiet_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "900"))
     bench_t0 = time.perf_counter()
     quiet_waited = 0.0
     quiet_gave_up = False
+    peak_amb = 0.0
+
+    def _quiet_bar() -> float:
+        return max(quiet_gbps, 0.3 * peak_amb)
 
     def wait_for_quiet(max_wait_s: float, poll_s: float = 15.0) -> float:
-        nonlocal quiet_waited, quiet_gave_up
+        nonlocal quiet_waited, quiet_gave_up, peak_amb
         amb = _triad_gbps()
+        peak_amb = max(peak_amb, amb)
         waited = 0.0
-        while amb < quiet_gbps and waited < max_wait_s:
+        while amb < _quiet_bar() and waited < max_wait_s:
             time.sleep(poll_s)
             waited += poll_s
             amb = _triad_gbps()
+            peak_amb = max(peak_amb, amb)
         quiet_waited += waited
-        if amb < quiet_gbps:
+        if amb < _quiet_bar():
             quiet_gave_up = True
         return amb
 
@@ -211,6 +225,7 @@ def main() -> None:
             # the pre-query probe (bursts last minutes, trials seconds)
             # must still mark the query noisy
             probes.append(_triad_gbps())
+            peak_amb = max(peak_amb, probes[-1])
             if len(samples) < trials:
                 continue
             if len(samples) >= max_trials:
@@ -253,6 +268,8 @@ def main() -> None:
         },
         "quiet_gate": {
             "threshold_gbps": quiet_gbps,
+            "learned_bar_gbps": round(_quiet_bar(), 3),
+            "peak_ambient_gbps": round(peak_amb, 3),
             "waited_s": round(quiet_waited, 1),
             "gave_up": quiet_gave_up,
         },
