@@ -1,0 +1,143 @@
+"""End-to-end training-corpus curation: the LLM-data analog of
+`plans/pipeline.py`'s flagship composition.
+
+Chains the round-5 operator family into the canonical curation order a
+web-scale pretraining pipeline runs (Gopher -> dedup -> decontaminate
+-> tokenize -> pack), entirely as composed DataFrame plans — one
+logical pipeline, no driver-side materialization between stages beyond
+the two bounded model fits (MinHash connected components and the
+tokenizer merge table, both vocabulary-bounded by construction).
+
+Stage shapes (each documented and plan-tested at its own operator):
+  1. quality gate      selection.gopher_rules   fused JVM regexp/array
+  2. near-dup dedup    dedup.minhash_dedup_assign  banded LSH, linear output
+  3. decontamination   dedup.decontaminate      broadcast eval digests
+  4. tokenization      bpe.bpe_train/bpe_encode shuffle-free mapInPandas
+  5. context packing   packing.pack_sequences   one hash-shard exchange
+
+At 100 TB each arrow between stages would be a written (and
+checkpoint-lineaged) table rather than a fused lazy plan — the
+composition here keeps every stage lazy so small/medium corpora run as
+one job; callers at scale insert `sinks`/`lineage` barriers between
+stages exactly as `run_flagship` does for the raster pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators import bpe as bpe_ops
+from ..operators import dedup, packing, selection
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    ctx_len: int = 2048,
+    n_shards: int = 8,
+    n_merges: int = 300,
+    train_sample_mod: int = 50,
+    max_train_words: int = 200_000,
+    decontam_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Run the full curation chain on a (doc_id, text) corpus.
+
+    Returns a dict of DataFrames (all lazy except the two bounded fits):
+      kept      (doc_id, text) survivors of gate+dedup+decontamination
+      audit     (doc_id, keep_quality, is_canonical, contaminated, kept)
+                one row per input doc — why each doc lived or died
+      tokens    (doc_id, n_tokens, token_ids) for kept docs
+      contexts  pack_sequences manifest over the real token counts
+      vocab     (token, token_id) fitted BPE vocabulary
+
+    The tokenizer trains on a deterministic 1/`train_sample_mod`
+    hash-sample of the KEPT corpus (never the rejected docs), mirroring
+    the fit-on-clean-data convention; `pack_sequences` consumes the
+    tokenizer's true `n_tokens` via `len_col`, so packed contexts cut
+    exactly at real token boundaries rather than the whitespace
+    estimate.
+    """
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+
+    # 1. quality gate (keep flag per rule; audit carries the verdict)
+    quality = selection.gopher_rules(base, text_col="text", id_col="doc_id")
+    q_keep = quality.select("doc_id", F.col("keep").alias("keep_quality"))
+    gated = base.join(q_keep.where("keep_quality"), "doc_id", "inner").select(
+        "doc_id", "text"
+    )
+
+    # 2. near-duplicate collapse: keep only cluster canonicals
+    assign = dedup.minhash_dedup_assign(gated, text_col="text", id_col="doc_id")
+    canon = assign.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+    deduped = gated.join(canon, "doc_id", "left_semi")
+
+    # 3. benchmark decontamination (optional)
+    if benchmark is not None:
+        dec = dedup.decontaminate(
+            deduped, benchmark, n=decontam_n, text_col="text", id_col="doc_id"
+        )
+        clean_ids = dec.where(~F.col("contaminated")).select("doc_id")
+        kept = deduped.join(clean_ids, "doc_id", "left_semi")
+        contaminated_col = dec.select("doc_id", "contaminated")
+    else:
+        kept = deduped
+        contaminated_col = None
+
+    # 4. tokenizer fit on a hash-bounded sample of the KEPT corpus,
+    #    then the shuffle-free encode pass
+    sample = kept.where(
+        F.pmod(F.xxhash64("doc_id"), F.lit(int(train_sample_mod))) == 0
+    )
+    merges, vocab = bpe_ops.bpe_train(
+        sample, n_merges=n_merges, max_words=max_train_words
+    )
+    tokens = bpe_ops.bpe_encode(kept, merges, vocab, via="map")
+
+    # 5. pack on REAL token counts (text never re-enters the plan)
+    contexts = packing.pack_sequences(
+        tokens.select("doc_id", "n_tokens"),
+        ctx_len=ctx_len,
+        n_shards=n_shards,
+        len_col="n_tokens",
+    )
+
+    audit = (
+        base.select("doc_id")
+        .join(q_keep, "doc_id", "left")
+        .join(
+            assign.select(
+                "doc_id",
+                (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+            ),
+            "doc_id",
+            "left",
+        )
+    )
+    if contaminated_col is not None:
+        audit = audit.join(contaminated_col, "doc_id", "left")
+    else:
+        audit = audit.withColumn("contaminated", F.lit(None).cast("boolean"))
+    audit = audit.select(
+        "doc_id",
+        F.coalesce("keep_quality", F.lit(False)).alias("keep_quality"),
+        "is_canonical",  # NULL = never reached dedup (failed the gate)
+        "contaminated",  # NULL = never reached decontamination / no benchmark
+        (
+            F.coalesce("keep_quality", F.lit(False))
+            & F.coalesce("is_canonical", F.lit(False))
+            & ~F.coalesce("contaminated", F.lit(False))
+        ).alias("kept"),
+    )
+
+    return {
+        "kept": kept,
+        "audit": audit,
+        "tokens": tokens,
+        "contexts": contexts,
+        "vocab": vocab,
+    }
