@@ -141,3 +141,136 @@ def curate_corpus(
         "contexts": contexts,
         "vocab": vocab,
     }
+
+
+def curate_corpus_staged(
+    spark,
+    docs: DataFrame,
+    fingerprint: str,
+    benchmark: DataFrame | None = None,
+    root: str | None = None,
+    ctx_len: int = 2048,
+    n_shards: int = 8,
+    n_merges: int = 300,
+    train_sample_mod: int = 50,
+    max_train_words: int = 200_000,
+    decontam_n: int = 8,
+) -> dict[str, DataFrame]:
+    """Checkpointed/resumable curation: the 100 TB shape of
+    `curate_corpus`. Every stage materializes through
+    `lineage.run_with_lineage` — parquet output + completion marker +
+    one lineage row per partition — so an interrupted run resumes at
+    the first incomplete stage and completed stages never recompute
+    (the north-rule checkpoint contract, same machinery as the raster
+    flagship's `plans/lineage.py`).
+
+    `fingerprint` must identify the input corpus version; each stage
+    extends it with the parameters that stage depends on, so changing
+    e.g. `ctx_len` recomputes packing but reuses gate/dedup/tokens.
+    Returns the same dict as `curate_corpus` plus `lineage` (the
+    union of all stages' per-partition metrics rows).
+    """
+    from . import lineage as L
+
+    kw = {} if root is None else {"root": root}
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+    gated, lin1 = L.run_with_lineage(
+        spark, "curate_gate", fingerprint,
+        lambda: base.join(
+            selection.gopher_rules(base).where("keep").select("doc_id"),
+            "doc_id", "left_semi",
+        ),
+        key_col="doc_id", **kw,
+    )
+    deduped, lin2 = L.run_with_lineage(
+        spark, "curate_dedup", fingerprint,
+        lambda: gated.join(
+            dedup.minhash_dedup_assign(gated)
+            .where(F.col("doc_id") == F.col("canonical_id"))
+            .select("doc_id"),
+            "doc_id", "left_semi",
+        ),
+        key_col="doc_id", **kw,
+    )
+    if benchmark is not None:
+        kept, lin3 = L.run_with_lineage(
+            spark, "curate_clean", f"{fingerprint}_n{decontam_n}",
+            lambda: deduped.join(
+                dedup.decontaminate(deduped, benchmark, n=decontam_n)
+                .where(~F.col("contaminated"))
+                .select("doc_id"),
+                "doc_id", "left_semi",
+            ),
+            key_col="doc_id", **kw,
+        )
+    else:
+        kept, lin3 = deduped, None
+
+    # tokenizer model is itself a (tiny) checkpointed stage: rank-ordered
+    # merge rows, so a resumed run re-reads the fitted model instead of
+    # re-running the driver merge loop
+    model_fp = f"{fingerprint}_m{n_merges}_s{train_sample_mod}_w{max_train_words}"
+
+    def _fit_model() -> DataFrame:
+        sample = kept.where(
+            F.pmod(F.xxhash64("doc_id"), F.lit(int(train_sample_mod))) == 0
+        )
+        merges_, vocab_ = bpe_ops.bpe_train(
+            sample, n_merges=n_merges, max_words=max_train_words
+        )
+        # one table holds the whole model: merge rows (rank order) AND
+        # the full vocab rows — the char inventory is training-corpus
+        # state that cannot be re-derived from the merges alone
+        m = spark.createDataFrame(
+            [("merge", i, a, b, None) for i, (a, b) in enumerate(merges_)],
+            "kind string, rank long, a string, b string, token_id long",
+        )
+        v = vocab_.select(
+            F.lit("vocab").alias("kind"),
+            F.col("token_id").alias("rank"),
+            F.col("token").alias("a"),
+            F.lit(None).cast("string").alias("b"),
+            "token_id",
+        )
+        return m.unionByName(v)
+
+    model_df, lin4 = L.run_with_lineage(
+        spark, "curate_tok_model", model_fp, _fit_model, key_col="rank", **kw
+    )
+    rows = model_df.collect()
+    merges = [
+        (r["a"], r["b"])
+        for r in sorted(
+            (r for r in rows if r["kind"] == "merge"), key=lambda r: r["rank"]
+        )
+    ]
+    vocab = spark.createDataFrame(
+        [(r["a"], r["token_id"]) for r in rows if r["kind"] == "vocab"],
+        "token string, token_id long",
+    )
+
+    tokens, lin5 = L.run_with_lineage(
+        spark, "curate_tokens", model_fp,
+        lambda: bpe_ops.bpe_encode(kept, merges, vocab, via="map"),
+        key_col="doc_id", **kw,
+    )
+    contexts, lin6 = L.run_with_lineage(
+        spark, "curate_pack", f"{model_fp}_c{ctx_len}_sh{n_shards}",
+        lambda: packing.pack_sequences(
+            tokens.select("doc_id", "n_tokens"),
+            ctx_len=ctx_len, n_shards=n_shards, len_col="n_tokens",
+        ),
+        key_col="doc_id", **kw,
+    )
+
+    lin = lin1.unionByName(lin2).unionByName(lin4).unionByName(lin5).unionByName(lin6)
+    if lin3 is not None:
+        lin = lin.unionByName(lin3)
+    return {
+        "kept": kept,
+        "tokens": tokens,
+        "contexts": contexts,
+        "vocab": vocab,
+        "lineage": lin,
+    }

@@ -175,3 +175,48 @@ def test_no_benchmark_skips_decontamination(corpus):
     assert a[7]["kept"] is True and a[7]["contaminated"] is None
     kept_ids = {r["doc_id"] for r in res["kept"].select("doc_id").collect()}
     assert kept_ids == {1, 2, 3, 4, 7}
+
+
+def test_staged_resume_and_param_scoped_recompute(corpus, bench_set, spark, tmp_path_factory):
+    import glob
+    import os
+
+    root = str(tmp_path_factory.mktemp("curate_ckpt"))
+    kwargs = dict(
+        benchmark=bench_set, root=root, ctx_len=CTX, n_shards=2,
+        n_merges=40, train_sample_mod=1, max_train_words=1000,
+    )
+    res1 = llm_pipeline.curate_corpus_staged(spark, corpus, "fp1", **kwargs)
+    kept1 = sorted(r["doc_id"] for r in res1["kept"].select("doc_id").collect())
+    assert kept1 == [1, 2, 3, 4]
+    tok1 = {r["doc_id"]: r["n_tokens"] for r in res1["tokens"].collect()}
+    ctx1 = res1["contexts"].count()
+    # lineage rows exist for every stage
+    stages = {r["stage"] for r in res1["lineage"].select("stage").distinct().collect()}
+    assert stages == {
+        "curate_gate", "curate_dedup", "curate_clean",
+        "curate_tok_model", "curate_tokens", "curate_pack",
+    }
+
+    markers = sorted(glob.glob(os.path.join(root, "*", "_ENGINE_COMPLETE")))
+    assert len(markers) == 12  # 6 stages + 6 lineage tables
+    mtimes = {m: os.path.getmtime(m) for m in markers}
+
+    # resume: same fingerprint recomputes NOTHING and returns the same data
+    res2 = llm_pipeline.curate_corpus_staged(spark, corpus, "fp1", **kwargs)
+    assert {m: os.path.getmtime(m) for m in markers} == mtimes
+    assert {r["doc_id"]: r["n_tokens"] for r in res2["tokens"].collect()} == tok1
+    assert res2["contexts"].count() == ctx1
+
+    # changing ctx_len recomputes ONLY the pack stage
+    res3 = llm_pipeline.curate_corpus_staged(
+        spark, corpus, "fp1", **{**kwargs, "ctx_len": CTX * 2}
+    )
+    assert {m: os.path.getmtime(m) for m in markers} == mtimes  # old ones untouched
+    new_markers = sorted(glob.glob(os.path.join(root, "*", "_ENGINE_COMPLETE")))
+    assert len(new_markers) == 14  # + new pack stage + its lineage
+    # token placement still exact under the new ctx_len
+    placed = {}
+    for r in res3["contexts"].collect():
+        placed[r["doc_id"]] = placed.get(r["doc_id"], 0) + (r["tok_to"] - r["tok_from"])
+    assert placed == tok1
