@@ -709,3 +709,67 @@ def importance_weights_oracle_sql(
     LEFT JOIN dfeat USING (doc_id)
     LEFT JOIN w ON w.bucket = dfeat.bucket
     GROUP BY 1"""
+
+
+# ------------------------------------------------- holdout split
+
+# common second-level public suffixes; hosts ending in one of these take
+# three labels as the registrable domain (a pragmatic subset of the
+# Public Suffix List — pass `two_level_suffixes` to extend)
+_TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "com.tr",
+    "com.ar", "co.in", "co.za", "co.kr", "co.nz", "com.sg", "com.hk",
+)
+
+
+def holdout_split(
+    docs: DataFrame,
+    valid_frac: float = 0.01,
+    seed: int = 42,
+    url_col: str = "url",
+    two_level_suffixes: tuple[str, ...] = _TWO_LEVEL_SUFFIXES,
+) -> DataFrame:
+    """Leakage-safe deterministic train/validation split: the split key
+    is the REGISTRABLE DOMAIN (eTLD+1) of each document's URL, so every
+    page of a site — including the near-duplicates and boilerplate
+    shared across its pages — lands on the same side; a random per-doc
+    split would leak templated content across the boundary and inflate
+    validation scores.
+
+    Appends (domain_key, split) to the input: split = 'valid' when
+    pmod(xxhash64(domain_key, seed), 10^6) < valid_frac * 10^6, else
+    'train' — stable under reruns, appends, and repartitioning (pure
+    column arithmetic, no RNG state). Docs with unparseable URLs get
+    domain_key = '' and split deterministically like any other key
+    (audit them via domain_key = '').
+
+    Registrable domain = last two host labels, or three when the host
+    ends with a known second-level public suffix (`co.uk` etc.) —
+    a pragmatic PSL subset; pass the full list for exact eTLD+1.
+
+    Scale shape: one JVM regexp + label-slice per row, no shuffle, no
+    Python — the split column is free at 100 TB and any downstream
+    filter on it pushes into the scan.
+    """
+    if not 0.0 <= valid_frac <= 1.0:
+        raise ValueError("valid_frac must be in [0, 1]")
+    host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+    labels = F.split(host, r"[.]")
+    n = F.size(labels)
+    two = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
+    three = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
+    is_two_level = two.isin(*two_level_suffixes) & (n >= 3)
+    domain_key = F.when(host == "", F.lit("")).otherwise(
+        F.when(is_two_level, three).otherwise(two)
+    )
+    denom = 1_000_000
+    bucket = F.pmod(
+        F.xxhash64(F.col("domain_key"), F.lit(int(seed)).cast("long")),
+        F.lit(denom),
+    )
+    return docs.withColumn("domain_key", domain_key).withColumn(
+        "split",
+        F.when(bucket < F.lit(int(round(valid_frac * denom))), F.lit("valid"))
+        .otherwise(F.lit("train")),
+    )

@@ -308,3 +308,47 @@ def test_gopher_rules_plan_shape(gopher_docs):
     )
     for op in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
         assert op not in plan, op
+
+
+def test_holdout_split_is_domain_keyed_and_deterministic(spark):
+    rows = [
+        (1, "https://news.example.com/a"),
+        (2, "https://example.com/b"),          # same registrable domain as 1
+        (3, "http://user@blog.example.com:8080/c?q=1"),  # auth/port/query stripped
+        (4, "https://shop.widgets.co.uk/x"),   # two-level public suffix
+        (5, "https://widgets.co.uk/y"),        # same eTLD+1 as 4
+        (6, "https://other.org/z"),
+        (7, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = selection.holdout_split(df, valid_frac=0.5, seed=7).collect()
+    got = {r["doc_id"]: (r["domain_key"], r["split"]) for r in out}
+    # one registrable domain per site, subdomains collapse onto it
+    assert got[1][0] == got[2][0] == got[3][0] == "example.com"
+    assert got[4][0] == got[5][0] == "widgets.co.uk"
+    assert got[6][0] == "other.org"
+    assert got[7][0] == ""
+    # leakage-safety: same domain -> same split, always
+    assert got[1][1] == got[2][1] == got[3][1]
+    assert got[4][1] == got[5][1]
+    # determinism across invocations
+    again = {
+        r["doc_id"]: r["split"]
+        for r in selection.holdout_split(df, valid_frac=0.5, seed=7).collect()
+    }
+    assert again == {d: s for d, (_, s) in got.items()}
+    # seed changes can move domains between sides; fraction bounds hold
+    assert all(s in ("train", "valid") for _, s in got.values())
+
+
+def test_holdout_split_fraction_converges(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://site"), F.col("id"), F.lit(".com/p")).alias("url"),
+    )
+    out = selection.holdout_split(df, valid_frac=0.1, seed=3)
+    frac = out.where("split = 'valid'").count() / 2000
+    assert 0.06 < frac < 0.14  # 2000 independent domains, binomial bound
+    # edge fractions
+    assert selection.holdout_split(df, valid_frac=0.0).where("split='valid'").count() == 0
+    assert selection.holdout_split(df, valid_frac=1.0).where("split='train'").count() == 0
