@@ -33,6 +33,7 @@ from ..operators import dedup, packing, selection
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
+    blocklist: DataFrame | None = None,
     ctx_len: int = 2048,
     n_shards: int = 8,
     n_merges: int = 300,
@@ -41,18 +42,24 @@ def curate_corpus(
     decontam_n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    url_col: str = "url",
 ) -> dict[str, DataFrame]:
     """Run the full curation chain on a (doc_id, text) corpus.
 
     Returns a dict of DataFrames (all lazy except the two bounded fits):
-      kept      (doc_id, text) survivors of gate+dedup+decontamination
-      audit     (doc_id, keep_quality, is_canonical, contaminated, kept)
-                one row per input doc — why each doc lived or died
+      kept      (doc_id, text) survivors of every filter stage
+      audit     (doc_id, url_blocked, keep_quality, is_canonical,
+                contaminated, kept) — one row per input doc: why each
+                doc lived or died (NULL = the doc never reached that
+                stage, or the stage was not configured)
       tokens    (doc_id, n_tokens, token_ids) for kept docs
       contexts  pack_sequences manifest over the real token counts
       vocab     (token, token_id) fitted BPE vocabulary
 
-    The tokenizer trains on a deterministic 1/`train_sample_mod`
+    With a `blocklist` (domain suffix table, see
+    `selection.filter_url_blocklist`) a stage-0 URL filter runs before
+    any text is touched — the cheapest kill happens first. The
+    tokenizer trains on a deterministic 1/`train_sample_mod`
     hash-sample of the KEPT corpus (never the rejected docs), mirroring
     the fit-on-clean-data convention; `pack_sequences` consumes the
     tokenizer's true `n_tokens` via `len_col`, so packed contexts cut
@@ -63,6 +70,17 @@ def curate_corpus(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
     )
+
+    # 0. URL blocklist (optional): drop before any text-sized work
+    if blocklist is not None:
+        blocked = selection.filter_url_blocklist(
+            docs, blocklist, url_col=url_col, id_col=id_col
+        ).select("doc_id", F.col("blocked").alias("url_blocked"))
+        base = base.join(
+            blocked.where("url_blocked").select("doc_id"), "doc_id", "left_anti"
+        )
+    else:
+        blocked = None
 
     # 1. quality gate (keep flag per rule; audit carries the verdict)
     quality = selection.gopher_rules(base, text_col="text", id_col="doc_id")
@@ -107,7 +125,17 @@ def curate_corpus(
     )
 
     audit = (
-        base.select("doc_id")
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(
+            blocked
+            if blocked is not None
+            else docs.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.lit(None).cast("boolean").alias("url_blocked"),
+            ),
+            "doc_id",
+            "left",
+        )
         .join(q_keep, "doc_id", "left")
         .join(
             assign.select(
@@ -124,11 +152,16 @@ def curate_corpus(
         audit = audit.withColumn("contaminated", F.lit(None).cast("boolean"))
     audit = audit.select(
         "doc_id",
-        F.coalesce("keep_quality", F.lit(False)).alias("keep_quality"),
-        "is_canonical",  # NULL = never reached dedup (failed the gate)
+        "url_blocked",  # NULL = no blocklist configured
+        # NULL keep_quality = killed before the gate (blocked URL)
+        F.when(
+            F.coalesce("url_blocked", F.lit(False)), F.lit(None).cast("boolean")
+        ).otherwise(F.coalesce("keep_quality", F.lit(False))).alias("keep_quality"),
+        "is_canonical",  # NULL = never reached dedup
         "contaminated",  # NULL = never reached decontamination / no benchmark
         (
-            F.coalesce("keep_quality", F.lit(False))
+            ~F.coalesce("url_blocked", F.lit(False))
+            & F.coalesce("keep_quality", F.lit(False))
             & F.coalesce("is_canonical", F.lit(False))
             & ~F.coalesce("contaminated", F.lit(False))
         ).alias("kept"),

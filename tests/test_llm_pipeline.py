@@ -220,3 +220,28 @@ def test_staged_resume_and_param_scoped_recompute(corpus, bench_set, spark, tmp_
     for r in res3["contexts"].collect():
         placed[r["doc_id"]] = placed.get(r["doc_id"], 0) + (r["tok_to"] - r["tok_from"])
     assert placed == tok1
+
+
+def test_url_blocklist_stage_kills_before_the_gate(spark, bench_set):
+    rows = [
+        (1, "https://ok.example.org/a", _quality_text("alpha")),
+        (2, "https://spamfarm.biz/b", _quality_text("beta")),       # blocked
+        (3, "https://sub.spamfarm.biz/c", _quality_text("gamma")),  # subdomain blocked
+        (4, "https://fine.net/d", _quality_text("delta")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    bl = spark.createDataFrame([("spamfarm.biz",)], "domain string")
+    res = llm_pipeline.curate_corpus(
+        docs, bench_set, blocklist=bl, ctx_len=CTX, n_shards=2,
+        n_merges=20, train_sample_mod=1, max_train_words=500,
+    )
+    a = {r["doc_id"]: r.asDict() for r in res["audit"].collect()}
+    assert set(a) == {1, 2, 3, 4}
+    for d in (2, 3):
+        assert a[d]["url_blocked"] is True and a[d]["kept"] is False
+        # killed before any text stage ran
+        assert a[d]["keep_quality"] is None and a[d]["is_canonical"] is None
+    for d in (1, 4):
+        assert a[d]["url_blocked"] is False and a[d]["kept"] is True
+    kept_ids = {r["doc_id"] for r in res["kept"].select("doc_id").collect()}
+    assert kept_ids == {1, 4}
