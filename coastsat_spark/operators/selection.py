@@ -750,11 +750,16 @@ def holdout_split(
 
     Scale shape: one JVM regexp + label-slice per row, no shuffle, no
     Python — the split column is free at 100 TB and any downstream
-    filter on it pushes into the scan.
+    filter on it pushes into the scan. The bucket hash is
+    xxhash64(domain_key || '#' || seed) — the seed folds into the
+    hashed string so the DuckDB mirror replays it with the standard
+    XXH64 string chain (`holdout_split_oracle_sql`).
     """
     if not 0.0 <= valid_frac <= 1.0:
         raise ValueError("valid_frac must be in [0, 1]")
-    host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+    # NULL urls normalize to host '' exactly like malformed ones, so
+    # domain_key is never NULL and the split is total
+    host = F.lower(F.coalesce(F.regexp_extract(F.col(url_col), _HOST_RE, 1), F.lit("")))
     labels = F.split(host, r"[.]")
     n = F.size(labels)
     two = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
@@ -765,7 +770,7 @@ def holdout_split(
     )
     denom = 1_000_000
     bucket = F.pmod(
-        F.xxhash64(F.col("domain_key"), F.lit(int(seed)).cast("long")),
+        F.xxhash64(F.concat(F.col("domain_key"), F.lit(f"#{int(seed)}"))),
         F.lit(denom),
     )
     return docs.withColumn("domain_key", domain_key).withColumn(
@@ -773,3 +778,46 @@ def holdout_split(
         F.when(bucket < F.lit(int(round(valid_frac * denom))), F.lit("valid"))
         .otherwise(F.lit("train")),
     )
+
+
+def holdout_split_oracle_sql(
+    valid_frac: float = 0.01,
+    seed: int = 42,
+    table: str = "documents",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    two_level_suffixes: tuple[str, ...] = _TWO_LEVEL_SUFFIXES,
+) -> str:
+    """DuckDB mirror of `holdout_split`: same host regexp, same
+    label-slice registrable-domain rule, bit-exact Spark xxhash64 over
+    the seed-folded string, same pmod bucket threshold. Returns
+    (doc_id, domain_key, split)."""
+    from ..hashing import staged_sql, u64_to_i64_sql, xxh64_string_steps
+
+    sufs = ", ".join(f"'{s}'" for s in two_level_suffixes)
+    denom = 1_000_000
+    cut = int(round(float(valid_frac) * denom))
+    inner = f"""
+    SELECT doc_id, domain_key, domain_key || '#{int(seed)}' AS hs FROM (
+      SELECT doc_id,
+             CASE WHEN host = '' THEN ''
+                  WHEN n >= 3 AND array_to_string(ls[greatest(n-1,1):n], '.')
+                       IN ({sufs})
+                  THEN array_to_string(ls[greatest(n-2,1):n], '.')
+                  ELSE array_to_string(ls[greatest(n-1,1):n], '.')
+             END AS domain_key
+      FROM (
+        SELECT doc_id, host, string_split(host, '.') AS ls,
+               len(string_split(host, '.')) AS n
+        FROM (
+          SELECT CAST({id_col} AS BIGINT) AS doc_id,
+                 lower(coalesce(regexp_extract({url_col},
+                   '{_HOST_RE}', 1), '')) AS host
+          FROM {table}))) """
+    hashed = staged_sql(inner, xxh64_string_steps("hs", "h", "ho_"))
+    hi = u64_to_i64_sql("h")
+    return f"""
+    SELECT doc_id, domain_key,
+           CASE WHEN (({hi} % {denom}) + {denom}) % {denom} < {cut}
+                THEN 'valid' ELSE 'train' END AS split
+    FROM ({hashed})"""

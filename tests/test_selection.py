@@ -352,3 +352,35 @@ def test_holdout_split_fraction_converges(spark):
     # edge fractions
     assert selection.holdout_split(df, valid_frac=0.0).where("split='valid'").count() == 0
     assert selection.holdout_split(df, valid_frac=1.0).where("split='train'").count() == 0
+
+
+def test_holdout_split_oracle_parity(spark):
+    import duckdb as _dd
+
+    urls = (
+        [f"https://site{i}.com/page" for i in range(40)]
+        + [f"https://sub{i}.site{i % 7}.co.uk/x" for i in range(20)]
+        + ["not a url", "", None, "ftp://deep.a.b.c.d.example.com/f"]
+    )
+    pdf = pd.DataFrame({"doc_id": np.arange(len(urls)), "url": urls})
+    got = (
+        selection.holdout_split(
+            spark.createDataFrame(pdf), valid_frac=0.37, seed=9
+        )
+        .select("doc_id", "domain_key", "split")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = _dd.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.execute(selection.holdout_split_oracle_sql(valid_frac=0.37, seed=9))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["domain_key"]) == list(exp["domain_key"])
+    assert list(got["split"]) == list(exp["split"])
+    # sanity: both engines split into both sides on this corpus
+    assert {"train", "valid"} == set(got["split"])
