@@ -28,8 +28,14 @@ from coastsat_spark.operators import bloom, bpe, selection
 
 cpus = {cpus}
 trials = {trials}
+# scan splits must outnumber cores by enough waves for balance: the
+# compacted tables are ~110 MB/file (sf4 = 48 files), so the default
+# 128 MB maxPartitionBytes gives 32 cores only 1.5 waves — a ~0.75
+# efficiency ceiling from the straggler wave alone, before the bus is
+# even involved. 16 MB → ≥4 waves at every leg size used here.
 spark = get_spark(cpus=cpus, shuffle_partitions=cpus,
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}},
+                  extra_conf={{"spark.ui.showConsoleProgress": "false",
+                               "spark.sql.files.maxPartitionBytes": "16m"}},
                   tmpfs_local_dir=True)
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(ensure_webpages(spark, {sf}))
