@@ -43,6 +43,7 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     url_col: str = "url",
+    tokenizer: str = "bpe",
 ) -> dict[str, DataFrame]:
     """Run the full curation chain on a (doc_id, text) corpus.
 
@@ -107,14 +108,27 @@ def curate_corpus(
         contaminated_col = None
 
     # 4. tokenizer fit on a hash-bounded sample of the KEPT corpus,
-    #    then the shuffle-free encode pass
+    #    then the shuffle-free encode pass (`tokenizer` selects BPE or
+    #    the unigram LM; for unigram, n_merges caps the vocab size the
+    #    same way it caps the merge count)
+    if tokenizer not in ("bpe", "unigram"):
+        raise ValueError("tokenizer must be 'bpe' or 'unigram'")
     sample = kept.where(
         F.pmod(F.xxhash64("doc_id"), F.lit(int(train_sample_mod))) == 0
     )
-    merges, vocab = bpe_ops.bpe_train(
-        sample, n_merges=n_merges, max_words=max_train_words
-    )
-    tokens = bpe_ops.bpe_encode(kept, merges, vocab, via="map")
+    if tokenizer == "bpe":
+        merges, vocab = bpe_ops.bpe_train(
+            sample, n_merges=n_merges, max_words=max_train_words
+        )
+        tokens = bpe_ops.bpe_encode(kept, merges, vocab, via="map")
+    else:
+        from ..operators import unigram as uni_ops
+
+        _, vocab = uni_ops.unigram_train(
+            sample, vocab_size=n_merges, max_words=max_train_words
+        )
+        tokens = uni_ops.unigram_encode(kept, vocab)
+        vocab = vocab.select("token", "token_id")
 
     # 5. pack on REAL token counts (text never re-enters the plan)
     contexts = packing.pack_sequences(

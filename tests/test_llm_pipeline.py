@@ -245,3 +245,21 @@ def test_url_blocklist_stage_kills_before_the_gate(spark, bench_set):
         assert a[d]["url_blocked"] is False and a[d]["kept"] is True
     kept_ids = {r["doc_id"] for r in res["kept"].select("doc_id").collect()}
     assert kept_ids == {1, 4}
+
+
+def test_unigram_tokenizer_variant(corpus, bench_set):
+    res = llm_pipeline.curate_corpus(
+        corpus, bench_set, ctx_len=CTX, n_shards=2, n_merges=60,
+        train_sample_mod=1, max_train_words=1000, tokenizer="unigram",
+    )
+    kept_ids = {r["doc_id"] for r in res["kept"].select("doc_id").collect()}
+    assert kept_ids == {1, 2, 3, 4}
+    tok = {r["doc_id"]: r["n_tokens"] for r in res["tokens"].collect()}
+    assert set(tok) == kept_ids and all(n > 0 for n in tok.values())
+    # packing is token-exact under the unigram counts too
+    placed: dict[int, int] = {}
+    for r in res["contexts"].collect():
+        placed[r["doc_id"]] = placed.get(r["doc_id"], 0) + (r["tok_to"] - r["tok_from"])
+    assert placed == tok
+    # vocab surface is tokenizer-agnostic
+    assert res["vocab"].columns == ["token", "token_id"]
