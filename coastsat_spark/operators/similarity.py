@@ -21,14 +21,50 @@ from pyspark.sql import Window as W
 from ..hashing import splitmix64
 
 
-def _dot(a: str, b: str):
-    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (s, v) -> s + v)")
+def _dot(a: str, b: str, dim: int | None = None):
+    """Dot product of two array<float> columns.
+
+    With ``dim`` (the known embedding width) the fold is UNROLLED into a
+    plain expression chain — lit(0.0) + a[1]*b[1] + a[2]*b[2] + ... —
+    which whole-stage codegen compiles, unlike the higher-order
+    aggregate/zip_with form, which Catalyst evaluates INTERPRETED with
+    per-element lambda dispatch (measured ~20x slower per row; it
+    dominated ann_bruteforce's wall time). Bit-identical by construction:
+    the chain performs the same float multiplies and the same
+    left-to-right double additions, starting from the same 0.0 literal,
+    as aggregate(zip_with(a, b, (x,y) -> x*y), 0.0D, (s,v) -> s+v) on
+    equal-length arrays (element_at is 1-based; a ragged row yields NULL
+    either way via NULL propagation).
+    """
+    if dim is None:
+        return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (s, v) -> s + v)")
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(F.col(a), i) * F.element_at(F.col(b), i)
+    return acc
 
 
-def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
-    return emb.withColumn(
-        "norm", F.sqrt(F.expr(f"aggregate({col}, 0.0D, (s, v) -> s + v * v)"))
-    )
+def _sq_norm(col: str, dim: int | None = None):
+    """Sum of squares of an array<float> column; same unrolling contract
+    (and the same IEEE operation order) as `_dot`."""
+    if dim is None:
+        return F.expr(f"aggregate({col}, 0.0D, (s, v) -> s + v * v)")
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        e = F.element_at(F.col(col), i)
+        acc = acc + e * e
+    return acc
+
+
+def _peek_dim(df: DataFrame, col: str) -> int:
+    """Embedding width from one row (tiny driver action; embeddings are
+    fixed-width by contract — ragged rows would NULL out either path)."""
+    row = df.select(col).first()
+    return len(row[0]) if row and row[0] is not None else 0
+
+
+def with_norm(emb: DataFrame, col: str = "embedding", dim: int | None = None) -> DataFrame:
+    return emb.withColumn("norm", F.sqrt(_sq_norm(col, dim)))
 
 
 def cosine_topk_bruteforce(
@@ -39,34 +75,101 @@ def cosine_topk_bruteforce(
     emb_col: str = "embedding",
     n_salts: int = 32,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries x corpus, JVM-side dot
-    products, TWO-PHASE top-k.
+    """Exact cosine top-k: one corpus scan scored against the collected
+    query matrix inside `mapInArrow`, batch-local top-k, tiny final window.
 
-    Scale shape: queries are the small side (broadcast); the corpus scan
-    is embarrassingly parallel. A single window over q_id would shuffle
-    the whole |corpus| x |queries| product into <= |queries| partitions —
-    a parallelism bottleneck at 100x scale. Instead phase 1 ranks within
-    (q_id, salt) where salt = hash(c_id) % n_salts (|queries| * n_salts
-    shuffle partitions, each emitting <= k rows), and phase 2 ranks the
-    surviving |queries| * n_salts * k rows — negligible. Both phases are
-    exact: every global top-k row wins its salt bucket, and ties break on
-    (cosine desc, c_id asc) identically in both phases.
+    Scale shape: queries are the bounded small side (collected once on
+    the driver, same contract as the former broadcast and as `pq_topk`);
+    the corpus scan is embarrassingly parallel and NEVER shuffled — each
+    Arrow batch emits only its local top-k rows per query (exact: every
+    global top-k row wins its batch), so the only exchange carries
+    <= |queries| * k * n_batches candidate rows into the final window.
+    The r5 shape (crossJoin(broadcast(q)) + salted two-phase window)
+    exchanged the full |corpus| x |queries| product once and evaluated
+    the dot product as Catalyst `aggregate`/`zip_with` higher-order
+    calls — interpreted, no codegen (BroadcastNestedLoopJoin stage), and
+    measured ~4x the wall of this kernel at sf0.1.
+
+    BIT-IDENTICAL to the former JVM expression by construction: products
+    are float32 (the array element type, like zip_with's x*y), the
+    accumulator is float64 starting at 0.0 folding in index order (like
+    aggregate's s+v), norms square/accumulate the same way with one
+    correctly-rounded sqrt, and cosine = dot / (q_norm * c_norm) in
+    float64 — the same IEEE operations in the same order. Ranking ties
+    break (cosine DESC, c_id ASC) with NaN ordered first like Spark's
+    DESC NULLS LAST over doubles (NaN > +Inf); `n_salts` is kept for API
+    compatibility (the salted phase no longer exists).
     """
-    q = with_norm(queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")), "q_emb").withColumnRenamed("norm", "q_norm")
-    c = with_norm(corpus.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb")), "c_emb").withColumnRenamed("norm", "c_norm")
-    j = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
-    sim = (_dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine")
-    scored = j.select("q_id", "c_id", sim)
-    order = [F.desc("cosine"), F.asc("c_id")]
-    w1 = W.partitionBy("q_id", "_salt").orderBy(*order)
-    local = (
-        scored.withColumn("_salt", F.pmod(F.xxhash64("c_id"), F.lit(n_salts)))
-        .withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= k)
-    )
-    w2 = W.partitionBy("q_id").orderBy(*order)
+    qp = queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")).toPandas()
+    q_ids = qp["q_id"].to_numpy(np.int64)
+    nq = len(q_ids)
+    spark = corpus.sparkSession
+    if nq == 0:
+        return spark.createDataFrame(
+            [], "q_id long, c_id long, cosine double, rank int"
+        )
+    Qf = np.vstack(qp["q_emb"].to_numpy()).astype(np.float32, copy=False)
+    d = Qf.shape[1]
+    # query norms once, driver-side: float32 squares folded left-to-right
+    # into a float64 accumulator — aggregate(q_emb, 0.0D, (s,v) -> s+v*v)
+    qn2 = np.zeros(nq, dtype=np.float64)
+    for i in range(d):
+        x = Qf[:, i]
+        qn2 += x * x
+    qn = np.sqrt(qn2)
+
+    def score_batches(batches):
+        import pyarrow as pa
+
+        qrange = np.arange(nq, dtype=np.int64)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            c_ids = batch.column(0).to_numpy()
+            col = batch.column(1)
+            offs = col.offsets.to_numpy()
+            Mf = col.flatten().to_numpy(zero_copy_only=False)
+            if not np.all(np.diff(offs) == d):
+                raise ValueError("ragged embedding widths in corpus batch")
+            Mf = Mf.reshape(n, d)
+            acc = np.zeros((n, nq), dtype=np.float64)
+            cn2 = np.zeros(n, dtype=np.float64)
+            for i in range(d):
+                mi = Mf[:, i]
+                cn2 += mi * mi
+                acc += np.multiply.outer(mi, Qf[:, i])
+            cos = acc / (qn[None, :] * np.sqrt(cn2)[:, None])
+            # flatten query-major; drop self-pairs; rank (NaN first —
+            # Spark DESC over doubles — then cosine desc, c_id asc)
+            cosF = cos.T.ravel()
+            cidF = np.tile(c_ids, nq)
+            qgF = np.repeat(qrange, n)
+            keep = cidF != q_ids[qgF]
+            cosF, cidF, qgF = cosF[keep], cidF[keep], qgF[keep]
+            nanF = np.isnan(cosF)
+            negcos = np.where(nanF, 0.0, -cosF)
+            order = np.lexsort((cidF, negcos, ~nanF, qgF))
+            counts = np.bincount(qgF, minlength=nq)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            take = np.concatenate(
+                [order[s : s + min(k, c)] for s, c in zip(starts, counts)]
+            ) if len(order) else np.empty(0, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(q_ids[qgF[take]], type=pa.int64()),
+                    pa.array(cidF[take], type=pa.int64()),
+                    pa.array(cosF[take], type=pa.float64()),
+                ],
+                names=["q_id", "c_id", "cosine"],
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb")
+    ).mapInArrow(score_batches, "q_id long, c_id long, cosine double")
+    w2 = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
-        local.withColumn("rank", F.row_number().over(w2))
+        cand.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
     )
@@ -160,7 +263,7 @@ def cosine_topk_lsh(
         queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")), "q_emb"
     ).withColumnRenamed("norm", "q_norm")
     j = cand.join(F.broadcast(q), "q_id")
-    cn = F.sqrt(F.expr("aggregate(c_emb, 0.0D, (s, v) -> s + v * v)"))
+    cn = F.sqrt(_sq_norm("c_emb"))
     sim = (_dot("q_emb", "c_emb") / (F.col("q_norm") * cn)).alias("cosine")
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -268,8 +371,8 @@ def ivf_topk(
         F.explode(_nearest_centroids_udf(C, n_probe)(F.col("q_emb"))).alias("cent_id"),
     )
     j = assigned.join(F.broadcast(probes), "cent_id").filter(F.col("q_id") != F.col("c_id"))
-    qn = F.sqrt(F.expr("aggregate(q_emb, 0.0D, (s, v) -> s + v * v)"))
-    cn = F.sqrt(F.expr("aggregate(c_emb, 0.0D, (s, v) -> s + v * v)"))
+    qn = F.sqrt(_sq_norm("q_emb"))
+    cn = F.sqrt(_sq_norm("c_emb"))
     sim = (_dot("q_emb", "c_emb") / (qn * cn)).alias("cosine")
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -338,8 +441,8 @@ def embedding_dup_pairs_lsh(
         cand_ids.join(vecs.toDF("id_a", "e_a"), "id_a")
         .join(vecs.toDF("id_b", "e_b"), "id_b")
     )
-    na = F.sqrt(F.expr("aggregate(e_a, 0.0D, (s, v) -> s + v * v)"))
-    nb = F.sqrt(F.expr("aggregate(e_b, 0.0D, (s, v) -> s + v * v)"))
+    na = F.sqrt(_sq_norm("e_a"))
+    nb = F.sqrt(_sq_norm("e_b"))
     sim = (_dot("e_a", "e_b") / (na * nb)).alias("cosine")
     return cand.select("id_a", "id_b", sim).filter(F.col("cosine") >= threshold)
 

@@ -98,15 +98,57 @@ def test_ivf_kmeans_recall_tight(spark, clustered):
     assert recall >= 0.95, recall
 
 
-def test_bruteforce_two_phase_plan(spark, clustered):
-    """The product is never windowed into <=|queries| partitions: phase-1
-    window partitions by (q_id, salt)."""
+def test_bruteforce_plan_shape(spark, clustered):
+    """r6 shape: scoring + batch-local top-k run inside ONE mapInArrow
+    over the corpus scan (no crossJoin, no full-product exchange); the
+    only window ranks the <= |q|*k*n_batches surviving candidates."""
     _, sdf = clustered
     q = sdf.filter("vec_id < 10")
     plan = similarity.cosine_topk_bruteforce(q, sdf, k=5)._jdf.queryExecution().executedPlan().toString()
-    import re
-    wins = re.findall(r"Window \[row_number\(\).*?\]", plan)
-    assert any("_salt" in w for w in wins), plan[:2000]
+    assert "MapInArrow" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_bruteforce_bit_identical_to_jvm_fold(spark, clustered):
+    """The numpy kernel replays the exact IEEE semantics of the former
+    JVM expression: float32 products, float64 left-to-right accumulation
+    from 0.0, q_norm*c_norm then divide. Cosines must match BIT-for-bit
+    (the r5 formulation is rebuilt inline as the reference)."""
+    import struct
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    _, sdf = clustered
+    q = sdf.filter("vec_id < 10")
+
+    _dotH = lambda a, b: F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (s, v) -> s + v)"
+    )
+    wn = lambda df, col: df.withColumn(
+        "norm", F.sqrt(F.expr(f"aggregate({col}, 0.0D, (s, v) -> s + v * v)"))
+    )
+    qq = wn(
+        q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")), "q_emb"
+    ).withColumnRenamed("norm", "q_norm")
+    c = wn(
+        sdf.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")), "c_emb"
+    ).withColumnRenamed("norm", "c_norm")
+    j = c.crossJoin(F.broadcast(qq)).filter(F.col("q_id") != F.col("c_id"))
+    sim = (_dotH("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine")
+    w2 = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    ref = (
+        j.select("q_id", "c_id", sim)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+    got = similarity.cosine_topk_bruteforce(q, sdf, k=5)
+    ro = sorted(tuple(r) for r in ref.collect())
+    rn = sorted(tuple(r) for r in got.collect())
+    assert ro == rn
+    bits = lambda rows: [struct.pack("<d", r[2]) for r in rows]
+    assert bits(ro) == bits(rn)
 
 
 def test_embedding_dup_pairs_lsh_recall(spark, clustered):
