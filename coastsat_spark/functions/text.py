@@ -63,8 +63,39 @@ def parse_geotag_bytes(html: bytes) -> tuple[float, float]:
 
 
 @F.pandas_udf(T.StringType())
-def extract_text(html: pd.Series) -> pd.Series:
+def extract_text_arrow(html: pd.Series) -> pd.Series:
+    """Arrow-batched Python extractor (the r5 hot path). Kept as the
+    byte-level reference for the parity test and for non-UTF-8 corpora;
+    `extract_text` (all-JVM) is the corpus-scale path since r6."""
     return html.map(extract_text_bytes)
+
+
+def extract_text(html) -> "F.Column":
+    """HTML -> article text as a pure JVM expression (no Python, no
+    Arrow transfer of the html payload — it stayed the biggest single
+    Python-boundary crossing in the bench at ~400 MB/sf0.1-query).
+
+    Mirrors `extract_text_bytes` exactly on valid-UTF-8 input (the
+    corpus is ASCII by construction, and the DuckDB oracle replays this
+    same regexp form): first `<article>`-to-nearest-`</article>` block
+    via one DOTALL regex, else strip all tags and trim. The presence
+    test is substring search (locate), not a second regex pass.
+    Divergences, both outside the byte-identity contract: invalid UTF-8
+    passes through Spark strings raw instead of U+FFFD-replaced, and
+    the fallback trim strips Java `\\s` (ASCII whitespace) where
+    Python's strip() also handles exotic unicode spaces.
+    """
+    col = html if not isinstance(html, str) else F.col(html)
+    s = col.cast("string")
+    p1 = F.locate("<article>", s)
+    has = (p1 > 0) & (
+        F.call_function("locate", F.lit("</article>"), s, p1 + F.lit(9)) > 0
+    )
+    article = F.regexp_extract(s, r"(?s)<article>(.*?)</article>", 1)
+    stripped = F.regexp_replace(
+        F.regexp_replace(s, "<[^>]+>", " "), r"^\s+|\s+$", ""
+    )
+    return F.when(has, article).otherwise(stripped)
 
 
 _GEO_SCHEMA = T.StructType(

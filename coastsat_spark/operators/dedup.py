@@ -139,19 +139,7 @@ def np_minhash_hashes(tok_arrays, k: int, shingle_words: int = 3, seed: int = 42
     filter them out (minhash_signatures does) so token-less docs never
     collide with each other.
     """
-    rng_idx = np.arange(k, dtype=np.uint64)
-    # per-slot hash = a_i * digest + b_i mod 2^64 (a_i odd -> bijection):
-    # the multiply-shift 2-universal family, the same class Spark MLlib's
-    # MinHashLSH uses ((a*x+b) mod prime). Digests are already
-    # splitmix64-avalanched, so one multiply-add per slot suffices —
-    # measured 3.3x faster than a per-slot splitmix64 pass with
-    # indistinguishable Jaccard-estimator quality (bias -0.003 vs -0.005,
-    # rmse 0.059 both, 300 planted trials at k=64). The slot loop is ~99%
-    # of the UDF's arithmetic, so this is the map stage's hot path.
-    slot_a = splitmix64(rng_idx + np.uint64(seed * 1000 + 1)) | np.uint64(1)
-    slot_b = splitmix64(rng_idx + np.uint64(seed * 1000 + 7919))
     n = len(tok_arrays)
-    out = np.full((n, k), np.iinfo(np.uint64).max, dtype=np.uint64)
     w = shingle_words
     parts = []
     lens = np.zeros(n, dtype=np.int64)
@@ -164,8 +152,57 @@ def np_minhash_hashes(tok_arrays, k: int, shingle_words: int = 3, seed: int = 42
         parts.append(a)
         lens[row] = a.size
     if not parts:
-        return out
-    th = np.concatenate(parts).view(np.uint64)
+        return np.full((n, k), np.iinfo(np.uint64).max, dtype=np.uint64)
+    return _np_minhash_core(np.concatenate(parts), lens, k, w, seed)
+
+
+def np_minhash_from_flat(
+    flat: np.ndarray, lens: np.ndarray, k: int, shingle_words: int = 3, seed: int = 42
+) -> np.ndarray:
+    """`np_minhash_hashes` over the FLAT token-hash stream + per-doc
+    lengths (the Arrow list layout, zero object churn): pads short docs
+    with a vectorized gather instead of the per-row concat loop, then
+    runs the shared digest/slot core — bit-identical by construction."""
+    w = shingle_words
+    lens = np.asarray(lens, dtype=np.int64)
+    flat = np.asarray(flat, dtype=np.int64)
+    if not len(flat):
+        return np.full((len(lens), k), np.iinfo(np.uint64).max, dtype=np.uint64)
+    short = (lens > 0) & (lens < w)
+    if short.any():
+        out_len = np.where(short, w, lens)
+        starts_src = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(out_len.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(out_len)[:-1])), out_len
+        )
+        src = np.repeat(starts_src, out_len) + np.minimum(
+            pos, np.repeat(np.maximum(lens - 1, 0), out_len)
+        )
+        flat = flat[src]
+        lens = out_len
+    return _np_minhash_core(flat, lens, k, w, seed)
+
+
+def _np_minhash_core(
+    flat: np.ndarray, lens: np.ndarray, k: int, w: int, seed: int
+) -> np.ndarray:
+    """Digest + blocked-slot core shared by both input layouts. `flat`
+    holds the padded per-doc token hashes back to back; `lens` the
+    padded lengths (0 = token-less doc, keeps the all-max sentinel)."""
+    rng_idx = np.arange(k, dtype=np.uint64)
+    # per-slot hash = a_i * digest + b_i mod 2^64 (a_i odd -> bijection):
+    # the multiply-shift 2-universal family, the same class Spark MLlib's
+    # MinHashLSH uses ((a*x+b) mod prime). Digests are already
+    # splitmix64-avalanched, so one multiply-add per slot suffices —
+    # measured 3.3x faster than a per-slot splitmix64 pass with
+    # indistinguishable Jaccard-estimator quality (bias -0.003 vs -0.005,
+    # rmse 0.059 both, 300 planted trials at k=64). The slot loop is ~99%
+    # of the UDF's arithmetic, so this is the map stage's hot path.
+    slot_a = splitmix64(rng_idx + np.uint64(seed * 1000 + 1)) | np.uint64(1)
+    slot_b = splitmix64(rng_idx + np.uint64(seed * 1000 + 7919))
+    n = len(lens)
+    out = np.full((n, k), np.iinfo(np.uint64).max, dtype=np.uint64)
+    th = flat.view(np.uint64)
     doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
     mix = splitmix64(np.arange(w, dtype=np.uint64) + np.uint64(seed * 77 + 5))
     with np.errstate(over="ignore"):
@@ -316,56 +353,114 @@ def minhash_band_keys(
     """(doc_id, bkeys array<long>): LSH band keys computed INSIDE the
     MinHash UDF (numpy splitmix64 fold over each band's slots) — the
     assignment path never materializes the k-slot signatures, cutting the
-    Arrow return k/bands-fold and skipping the JVM banding pass."""
+    Arrow return k/bands-fold and skipping the JVM banding pass.
+
+    Shape (r6): ONE `mapInArrow` over (id, token-hash array) — the list
+    column is consumed as its flat Arrow buffers (offsets + values, zero
+    per-row object churn; the r5 pandas_udf spent seconds per batch just
+    materializing 10k numpy objects on each side of the boundary) and
+    the band keys go back the same way. Token-less and NULL-text docs
+    get an EMPTY key array (no dedup signal; the downstream explode
+    drops them), replacing the r5 pre-filter `size(_th) > 0`, which
+    re-evaluated the whole tokenize (regexp_extract_all + per-token
+    xxhash64) a second time in the scan Filter — ~9 s of the 24 s
+    map-stage CPU at sf0.1/N32. As a DataFrame transform (not an
+    expression), mapInArrow is also immune to the
+    InferFiltersFromGenerate duplication that planned the r5 expression
+    UDF as TWO ArrowEvalPython nodes under any downstream explode."""
     r = k // bands
     salts = splitmix64(np.arange(bands, dtype=np.uint64) + np.uint64(0xB00B5))
+    id_type = dict(docs.dtypes).get(id_col, "bigint")
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def bk(th: pd.Series) -> pd.Series:
-        sig = np_minhash_hashes(th.to_numpy(), k, shingle_words)  # (n, k) uint64
-        keys = np.empty((len(sig), bands), dtype=np.uint64)
-        for b in range(bands):
-            acc = np.full(len(sig), salts[b], dtype=np.uint64)
-            for i in range(r):
-                acc = splitmix64(acc ^ sig[:, b * r + i])
-            keys[:, b] = acc
-        keys = keys.astype(np.int64)
-        return pd.Series(list(keys))
+    def bk_batches(batches):
+        import pyarrow as pa
 
-    return (
-        docs.select(F.col(id_col), token_hashes_col(text_col).alias("_th"))
-        .filter(F.size("_th") > 0)
-        .select(F.col(id_col), bk(F.col("_th")).alias("bkeys"))
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(1)
+            offs = col.offsets.to_numpy()
+            lens = np.diff(offs).astype(np.int64)  # NULL rows -> 0
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            sig = np_minhash_from_flat(flat, lens, k, shingle_words)  # (n, k) uint64
+            keys = np.empty((n, bands), dtype=np.uint64)
+            for b in range(bands):
+                acc = np.full(n, salts[b], dtype=np.uint64)
+                for i in range(r):
+                    acc = splitmix64(acc ^ sig[:, b * r + i])
+                keys[:, b] = acc
+            has = lens > 0
+            out_offs = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(has * bands, out=out_offs[1:])
+            values = keys[has].astype(np.int64).ravel()
+            bkeys = pa.ListArray.from_arrays(
+                pa.array(out_offs), pa.array(values, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), bkeys], names=[id_col, "bkeys"]
+            )
+
+    return docs.select(F.col(id_col), token_hashes_col(text_col).alias("_th")).mapInArrow(
+        bk_batches, f"{id_col} {id_type}, bkeys array<long>"
     )
 
 
-def _star_edges(raw: DataFrame, id_col: str) -> DataFrame:
+def _star_edges(raw: DataFrame, id_col: str, prepartitioned: bool = False) -> DataFrame:
     """(a, b) star edges per LSH bucket: every member points at its
     bucket's min id; singleton buckets (the vast majority) drop before
     any further work.
 
-    ONE exchange by construction: bucket-min and bucket-count come from
-    an entire-partition window over bkey, so the bucket table is
-    hash-partitioned once and never joined back. The r3 shape
-    (aggregate + join) planned a second full exchange whenever AQE chose
-    not to broadcast the aggregated side (observed in the r4 stage
-    decomposition: 2x762 MB shuffled at sf1 instead of 1x762 MB — the
-    dup-bucket table was past the broadcast threshold) and its safety
-    depended on a runtime size estimate; the window form halves the
-    exchanged bytes deterministically at the cost of a local Tungsten
-    sort by bkey inside each partition — the right trade on a cluster,
-    where the exchange is network and the sort is local.
+    Shape (r6): ONE explicit repartition by bkey whose exchange is
+    written once and read by BOTH consumers (ReusedExchange) — a hash
+    aggregate building the dup-bucket table (min id + count, n>1 only)
+    and a shuffled-hash join probing it with the co-partitioned bucket
+    table (hinted; zero additional exchange because both sides carry
+    the same hashpartitioning(bkey, P)).
+
+    Why not the r5 entire-partition window: WindowExec pays per-GROUP
+    buffer/iterator overhead, and LSH bucket keys are mostly unique —
+    the r5 stage decomposition (BENCH/minhash_decomp_N16.json, sf4)
+    shows the window stage at 20.8 us/row of pure CPU (192M rows ->
+    4,000 s CPU, 254 s wall of a 396 s job, cpu/run 0.97), ~30x the
+    cost of hash-aggregating the same rows. The extra shuffle READ this
+    shape adds (the exchange is fetched twice) is local-disk/NIC
+    streaming of 16-byte rows — orders of magnitude cheaper than the
+    window's per-group CPU at any scale.
+
+    Why not aggregate + plain join (the r3 shape): AQE's broadcast
+    decision is a runtime size estimate, and when it declined (dup
+    table past threshold at sf1) the join re-exchanged the full bucket
+    table. The explicit repartition + co-partitioned SHJ makes the
+    single full exchange deterministic, independent of size estimates.
+
+    `prepartitioned=True` promises the input is already
+    hash-partitioned by bkey into the session's shuffle-partition count
+    (and, when consumed more than once, persisted by the caller —
+    ReusedExchange does NOT fire for these two structurally identical
+    branches in Spark 4.1, measured: both exchanges materialized, so
+    the caller-side persist is what makes the exchange single-run).
 
     Still all-JVM: an earlier A/B against a repartition +
     sortWithinPartitions + mapInPandas formulation showed the Python
     pass scaling NEGATIVELY with cores (Arrow round-trip of the full
     bucket table contends for memory bandwidth).
     """
-    w = Window.partitionBy("bkey")
+    if prepartitioned:
+        r2 = raw
+    else:
+        spark = raw.sparkSession
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        r2 = raw.repartition(p, "bkey")
+    dup = (
+        r2.groupBy("bkey")
+        .agg(F.min(id_col).alias("b"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("bkey", "b")
+    )
     return (
-        raw.withColumn("b", F.min(id_col).over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(w))
-        .filter((F.col("_n") > 1) & (F.col(id_col) != F.col("b")))
+        r2.join(dup.hint("shuffle_hash"), "bkey")
+        .filter(F.col(id_col) != F.col("b"))
         .select(F.col(id_col).alias("a"), "b")
         .distinct()
     )
@@ -437,21 +532,29 @@ def minhash_dedup_assign(
     Returns (doc_id, canonical_id) where canonical_id is the smallest
     doc id reachable through shared LSH buckets.
     """
-    # persist the UDF OUTPUT (|docs| rows of band-key arrays — an order of
-    # magnitude lighter than the exploded bucket table) so the signature
-    # UDF runs exactly once even though _star_edges scans the bucket table
-    # twice (aggregate + join); persist the edge list itself (tiny: ~|dup
-    # docs| rows) so count + collect don't recompute. Both are unpersisted
-    # before returning — no checkpoint blocks leak into the session, which
-    # measurably degrades later queries (blocks pin storage memory until a
-    # driver GC lets ContextCleaner reap them).
-    bkeys = minhash_band_keys(docs, k, bands, text_col=text_col, id_col=id_col).persist()
-    raw = bkeys.select(F.col(id_col), F.explode("bkeys").alias("bkey"))
-    star = _star_edges(raw, id_col).persist()
+    # persist the REPARTITIONED bucket table (16 bytes/row, hash-
+    # partitioned by bkey): _star_edges consumes it twice (aggregate
+    # build + join probe), and Spark 4.1 does NOT reuse the two
+    # structurally identical exchanges (measured: both materialized), so
+    # the cache is what makes the tokenize+MinHash UDF AND the bucket
+    # exchange single-run. Persist the edge list itself (tiny: ~|dup
+    # docs| rows) so count + collect don't recompute. Both are
+    # unpersisted before returning — no checkpoint blocks leak into the
+    # session, which measurably degrades later queries (blocks pin
+    # storage memory until a driver GC lets ContextCleaner reap them).
+    spark = docs.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bkeys = minhash_band_keys(docs, k, bands, text_col=text_col, id_col=id_col)
+    raw = (
+        bkeys.select(F.col(id_col), F.explode("bkeys").alias("bkey"))
+        .repartition(p, "bkey")
+        .persist()
+    )
+    star = _star_edges(raw, id_col, prepartitioned=True).persist()
     n_edges = star.count()
 
     if n_edges == 0:
-        bkeys.unpersist()
+        raw.unpersist()
         star.unpersist()
         # duplicate-free corpus: no bucket has two members, so every doc
         # is its own canonical — skip CC entirely (the numpy CC would
@@ -466,7 +569,7 @@ def minhash_dedup_assign(
         # pointer jumping over ~16 bytes/edge) — the same small-side
         # trade a broadcast join makes. Above it, the distributed loop.
         cc = _driver_connected_components(star.toPandas())
-        bkeys.unpersist()
+        raw.unpersist()
         star.unpersist()
         # drop identity rows (root == node): coalesce() in the final join
         # yields the same answer and the broadcast build side shrinks
@@ -486,7 +589,7 @@ def minhash_dedup_assign(
         edges = star.union(
             star.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ).localCheckpoint(eager=True)
-        bkeys.unpersist()
+        raw.unpersist()
         star.unpersist()
         nodes = edges.select(F.col("a").alias(id_col)).distinct()
         labels = nodes.withColumn("label", F.col(id_col)).localCheckpoint(eager=True)

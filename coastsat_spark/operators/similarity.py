@@ -211,7 +211,12 @@ def lsh_bucket_ids(
         per_table = signs.reshape(len(M), n_tables, n_bits) @ weights
         return pd.Series(list(per_table))
 
-    out = emb.withColumn("_bks", buckets(F.col(emb_col)))
+    # optimizer fence (guide §4.4; the UDF is really deterministic):
+    # without it InferFiltersFromGenerate derives isnotnull/size filters
+    # below the posexplode that reference the UDF output, planning a
+    # SECOND ArrowEvalPython — every bucket matmul ran twice (verified:
+    # 2 ArrowEvalPython nodes before, 1 after)
+    out = emb.withColumn("_bks", buckets.asNondeterministic()(F.col(emb_col)))
     return (
         out.select("*", F.posexplode("_bks").alias("table", "bucket"))
         .drop("_bks")
@@ -293,7 +298,9 @@ def _nearest_centroids_udf(C: np.ndarray, n_top: int):
             top = np.argsort(-D, axis=1, kind="stable")[:, :n_top].astype(np.int32)
         return pd.Series(list(top))
 
-    return nearest
+    # optimizer fence against InferFiltersFromGenerate re-evaluating the
+    # projection under the probes explode (see lsh_bucket_ids)
+    return nearest.asNondeterministic()
 
 
 def kmeans_centroids(

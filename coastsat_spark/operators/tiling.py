@@ -62,6 +62,13 @@ def _noise(lat_i, lon_i, p: int, q: int):
 
 
 _GEO_JVM_RE = r'<meta name="geo" content="(-?\d+\.\d+);(-?\d+\.\d+)"'
+# single-capture variant: grab "lat;lon" in ONE regex pass and split on
+# ';' afterwards. The two-group form needed two regexp_extract calls
+# (group 1 + group 2) which are DIFFERENT expressions to Catalyst, so
+# codegen's common-subexpression elimination could not merge them and
+# the regex ran twice per row; the pair+split form runs the regex once
+# (the shared regexp_extract/split subexpressions are CSE'd).
+_GEO_JVM_RE_PAIR = r'<meta name="geo" content="(-?\d+\.\d+;-?\d+\.\d+)"'
 
 
 def with_geo(docs: DataFrame, jvm: bool = True) -> DataFrame:
@@ -75,11 +82,13 @@ def with_geo(docs: DataFrame, jvm: bool = True) -> DataFrame:
     """
     if jvm:
         head = F.substring(F.col("html"), 1, 160).cast("string")
-        lat = F.regexp_extract(head, _GEO_JVM_RE, 1)
-        lon = F.regexp_extract(head, _GEO_JVM_RE, 2)
+        pair = F.regexp_extract(head, _GEO_JVM_RE_PAIR, 1)
+        parts = F.split(pair, ";")
+        # lat/lon strings cannot contain ';' (pattern is digits/dot/sign),
+        # so splitting the joint capture is exactly the two-group parse
         return docs.withColumn(
-            "lat", F.when(lat != "", lat.cast("double"))
-        ).withColumn("lon", F.when(lon != "", lon.cast("double")))
+            "lat", F.when(pair != "", parts.getItem(0).cast("double"))
+        ).withColumn("lon", F.when(pair != "", parts.getItem(1).cast("double")))
     g = parse_geotag(F.col("html"))
     return docs.withColumn("_g", g).select("*", "_g.lat", "_g.lon").drop("_g")
 

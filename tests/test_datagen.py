@@ -51,3 +51,56 @@ def test_spark_generation_matches_oracle(spark):
     assert (sdf["html"].map(bytes).to_numpy() == oracle["html"].to_numpy()).all()
     assert (sdf["text"].to_numpy() == oracle["text"].to_numpy()).all()
     assert SF_ROWS[0.001] == 6_000
+
+
+def test_jvm_extract_text_parity(spark):
+    """r6: extract_text is a JVM expression; it must match the Python
+    byte extractor on the corpus AND on structural edge cases (empty
+    article, multiple articles, no article -> tag-strip fallback,
+    multiline bodies, null)."""
+    from pyspark.sql import functions as F
+
+    from coastsat_spark.functions.text import extract_text
+
+    cases = [
+        b"<html><article>hello world</article></html>",
+        b"<html><article></article></html>",
+        b"<html><article>a</article><article>b</article></html>",
+        b"<html><article>multi\nline\ntext</article></html>",
+        b"<html><article>unclosed",
+        b"<html><body>no article <b>tags</b> here</body></html>",
+        b"  <p> lead and trail ws </p>  ",
+        b"</article>before<article>after</article>",
+        b"<article>pre<article>inner</article>post</article>",
+        b"",
+        None,
+    ]
+    rows = [(i, c) for i, c in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, html binary")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", extract_text(F.col("html")).alias("t")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == extract_text_bytes(c), (i, c, got[i])
+
+
+def test_jvm_extract_text_corpus_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from coastsat_spark.functions.text import extract_text
+
+    web = webpages_df(spark, 3000)
+    bad = web.filter(extract_text(F.col("html")) != F.col("text")).count()
+    assert bad == 0
+
+
+def test_with_geo_single_regex_parity(spark):
+    """r6: the JVM geotag parse runs ONE regex (pair capture + split);
+    it must agree with the Arrow/Python path byte-for-byte."""
+    from coastsat_spark.operators import tiling
+
+    web = webpages_df(spark, 3000)
+    a = tiling.with_geo(web, jvm=True).select("url", "lat", "lon").orderBy("url").collect()
+    b = tiling.with_geo(web, jvm=False).select("url", "lat", "lon").orderBy("url").collect()
+    assert a == b

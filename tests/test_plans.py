@@ -194,21 +194,44 @@ def test_halo_ghosts_are_jvm_single_scan(spark, web):
 
 def test_star_edges_single_bucket_exchange(spark):
     """The MinHash star-edge builder must shuffle the full bucket table
-    exactly ONCE (entire-partition window over bkey); the r3
-    aggregate+join form planned a second full exchange whenever AQE
-    declined the broadcast. The only other exchange is the tiny edge
-    distinct."""
+    exactly ONCE, the way minhash_dedup_assign composes it: one explicit
+    repartition(bkey) whose PERSISTED output feeds both the dup-bucket
+    hash aggregate and the shuffled-hash join probe with no further
+    bkey exchange (the r5 entire-partition window paid ~20 us/row of
+    WindowExec per-group CPU at scale; the r3 aggregate+join form
+    planned a second full exchange whenever AQE declined the
+    broadcast). The only other exchange is the tiny edge distinct."""
     from coastsat_spark.operators import dedup
 
     docs = spark.read.parquet(ensure_webpages(spark, 0.001))
     sub = docs.select(F.xxhash64("url").alias("doc_id"), F.col("text"))
-    raw = dedup.minhash_band_keys(sub, 64, 8).select(
-        F.col("doc_id"), F.explode("bkeys").alias("bkey")
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    raw = (
+        dedup.minhash_band_keys(sub, 64, 8)
+        .select(F.col("doc_id"), F.explode("bkeys").alias("bkey"))
+        .repartition(p, "bkey")
+        .persist()
     )
-    out = dedup._star_edges(raw, "doc_id")
-    plan = _plan(out)
-    bucket_exchanges = [
-        l for l in plan.splitlines()
-        if "hashpartitioning(bkey" in l
-    ]
-    assert len(bucket_exchanges) == 1, bucket_exchanges
+    try:
+        out = dedup._star_edges(raw, "doc_id", prepartitioned=True)
+        # the initial plan carries ENSURE_REQUIREMENTS bkey exchanges
+        # that AQE elides once the cache stage reports its partitioning;
+        # assert on the FINAL executed plan (what actually ran)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("+- == Initial Plan ==")[0]
+        bucket_exchanges = [
+            l for l in final.splitlines()
+            if "Exchange hashpartitioning(bkey" in l
+        ]
+        assert len(bucket_exchanges) == 1, bucket_exchanges
+        # the join must be the co-partitioned shuffled-hash form, not a
+        # sort-merge (no per-partition sort of the bucket table)
+        assert "ShuffledHashJoin" in final, final[:2000]
+        # the tokenize+MinHash pass must evaluate exactly once, as ONE
+        # mapInArrow transform (the r5 expression UDF was planned as two
+        # ArrowEvalPython nodes by InferFiltersFromGenerate)
+        assert final.count("MapInArrow") == 1, final[:2000]
+        assert "ArrowEvalPython" not in final, final[:2000]
+    finally:
+        raw.unpersist()
