@@ -706,6 +706,12 @@ def extract_shorelines(
         if out:
             yield pd.concat(out, ignore_index=True)
 
+    # deliberately the coalescible (no pinned count) repartition form:
+    # an r6 A/B that pinned spark.sql.shuffle.partitions here doubled
+    # the stage's summed task time (per-task Python dispatch overhead,
+    # 16 -> 32 tasks) with NO wall gain — at sf0.1 this stage is bound
+    # by per-task fixed cost, not parallelism, so AQE's coalescing is
+    # the right call and scales with data volume at larger sf.
     rep = pixels.repartition("tile", "scene_month").sortWithinPartitions(
         "tile", "scene_month"
     )
