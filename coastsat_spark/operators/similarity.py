@@ -56,13 +56,6 @@ def _sq_norm(col: str, dim: int | None = None):
     return acc
 
 
-def _peek_dim(df: DataFrame, col: str) -> int:
-    """Embedding width from one row (tiny driver action; embeddings are
-    fixed-width by contract — ragged rows would NULL out either path)."""
-    row = df.select(col).first()
-    return len(row[0]) if row and row[0] is not None else 0
-
-
 def with_norm(emb: DataFrame, col: str = "embedding", dim: int | None = None) -> DataFrame:
     return emb.withColumn("norm", F.sqrt(_sq_norm(col, dim)))
 
