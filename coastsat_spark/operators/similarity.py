@@ -91,7 +91,10 @@ def cosine_topk_bruteforce(
     float64 — the same IEEE operations in the same order. Ranking ties
     break (cosine DESC, c_id ASC) with NaN ordered first like Spark's
     DESC NULLS LAST over doubles (NaN > +Inf); `n_salts` is kept for API
-    compatibility (the salted phase no longer exists).
+    compatibility (the salted phase no longer exists). One documented
+    divergence on DEGENERATE input only: a zero-norm vector made the r5
+    expression RAISE under ANSI mode (DIVIDE_BY_ZERO); the kernel
+    degrades to non-finite cosines ranked first instead (pytest-pinned).
     """
     qp = queries.select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")).toPandas()
     q_ids = qp["q_id"].to_numpy(np.int64)

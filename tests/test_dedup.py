@@ -152,3 +152,43 @@ def test_lsh_candidate_pairs_rejects_wrong_k(spark, planted):
     sigs = dedup.minhash_signatures(sdf, k=64)
     with pytest.raises(Exception, match="signature length"):
         dedup.lsh_candidate_pairs(sigs, bands=16, k=128).count()
+
+
+def test_band_keys_null_and_short_docs(spark):
+    """r6 mapInArrow band keys: NULL text and token-less docs yield empty
+    key arrays (downstream explode drops them); 1- and 2-token docs pad
+    like the legacy per-row path. Assignment output must treat NULL/empty
+    docs as their own canonicals, exactly like the r5 pre-filter did."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": ["alpha beta gamma delta", "alpha beta gamma delta",
+                     None, "", "!!!", "one"],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    bk = dedup.minhash_band_keys(sdf, 32, 8).toPandas().set_index("doc_id")
+    assert len(bk.loc[3, "bkeys"]) == 0  # NULL text
+    assert len(bk.loc[4, "bkeys"]) == 0  # empty text
+    assert len(bk.loc[5, "bkeys"]) == 0  # no alnum tokens
+    assert len(bk.loc[6, "bkeys"]) == 8  # single token: padded window
+    assert list(bk.loc[1, "bkeys"]) == list(bk.loc[2, "bkeys"])  # dup docs collide
+    out = dedup.minhash_dedup_assign(sdf, k=32, bands=8).toPandas().set_index("doc_id")
+    assert out.loc[2, "canonical_id"] == 1
+    for d in (3, 4, 5, 6):
+        assert out.loc[d, "canonical_id"] == d
+
+
+def test_np_minhash_flat_matches_legacy_layout():
+    """np_minhash_from_flat (Arrow flat buffers) must be bit-identical to
+    np_minhash_hashes (per-row arrays) across ragged lengths incl. the
+    padded short-doc cases."""
+    rng = np.random.default_rng(7)
+    lens = [0, 1, 2, 3, 4, 0, 17, 1, 2, 40, 0, 5]
+    arrays = [rng.integers(-2**62, 2**62, size=n, dtype=np.int64) for n in lens]
+    flat = np.concatenate([a for a in arrays]) if arrays else np.empty(0, np.int64)
+    legacy = dedup.np_minhash_hashes(np.array(arrays, dtype=object), 64, 3)
+    flatv = dedup.np_minhash_from_flat(flat, np.array(lens), 64, 3)
+    assert (legacy == flatv).all()

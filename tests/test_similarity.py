@@ -261,3 +261,70 @@ def test_ann_approx_oracle_parity(spark):
         check_dtype=False,
     )
     np.testing.assert_allclose(got["cosine"], exp["cosine"], atol=1e-9)
+
+
+def test_bruteforce_ties_match_jvm_and_zero_norm_degrades(spark):
+    """Exact duplicate vectors (cosine ties) must rank exactly like the
+    JVM formulation (ties broken c_id ASC, bit-identical cosines). A
+    zero-norm vector is additionally checked as kernel-documented
+    behavior: the r5 JVM expression RAISED under ANSI mode
+    (DIVIDE_BY_ZERO), the numpy kernel degrades to non-finite cosines
+    ranked first like Spark's DESC over doubles."""
+    import math
+    import struct
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # duplicate of 0 -> cosine tie
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.5, 0.5, 0.0, 0.0]),
+        (5, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    sdf = spark.createDataFrame(rows, schema)
+    q = sdf.filter("vec_id <= 1")
+
+    _dotH = lambda a, b: F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (s, v) -> s + v)"
+    )
+    wn = lambda df, col: df.withColumn(
+        "norm", F.sqrt(F.expr(f"aggregate({col}, 0.0D, (s, v) -> s + v * v)"))
+    )
+    qq = wn(
+        q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")), "q_emb"
+    ).withColumnRenamed("norm", "q_norm")
+    c = wn(
+        sdf.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")), "c_emb"
+    ).withColumnRenamed("norm", "c_norm")
+    j = c.crossJoin(F.broadcast(qq)).filter(F.col("q_id") != F.col("c_id"))
+    sim = (_dotH("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine")
+    w2 = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    ref = (
+        j.select("q_id", "c_id", sim)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+    got = similarity.cosine_topk_bruteforce(q, sdf, k=3)
+    ro = sorted((r[0], r[1], struct.pack("<d", r[2]), r[3]) for r in ref.collect())
+    rn = sorted((r[0], r[1], struct.pack("<d", r[2]), r[3]) for r in got.collect())
+    assert ro == rn
+
+    # zero-norm corpus vector: no exception, non-finite cosine ranks first
+    withzero = sdf.union(
+        spark.createDataFrame([(2, [0.0, 0.0, 0.0, 0.0])], schema)
+    )
+    out = similarity.cosine_topk_bruteforce(
+        withzero.filter("vec_id = 0"), withzero, k=5
+    ).toPandas()
+    top = out.sort_values("rank").iloc[0]
+    assert top["c_id"] == 2 and not math.isfinite(top["cosine"])
